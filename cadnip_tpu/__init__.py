@@ -1,0 +1,28 @@
+"""cadnip_tpu — a TPU-native (JAX/XLA/Pallas) analog circuit simulator.
+
+A from-scratch rebuild of the capabilities of NyanCAD/Cadnip.jl (SPICE-class
+MNA simulator): SPICE/Spectre netlist and Verilog-A front ends compile to
+fixed-structure jitted stamp programs; DC/transient/AC/noise analyses run as
+pure JAX with batched-dense linear algebra; parameter sweeps and Monte Carlo
+are vmap over parameter pytrees, sharded over TPU meshes with shard_map.
+"""
+from . import config  # noqa: F401  (enables x64; must import first)
+
+from .mna.structure import Circuit, CompiledCircuit  # noqa: E402
+from .mna.spec import SimSpec  # noqa: E402
+from .mna import devices  # noqa: E402
+from .mna.devices import (  # noqa: E402
+    RESISTOR, CAPACITOR, INDUCTOR, VSOURCE, ISOURCE, VCVS, VCCS, CCCS, CCVS,
+    DIODE, DIODE_RS, MOSFET1, DeviceModel)
+from .mna.waveforms import DC as DCWave, Pulse, Sin, PWL, Exp, Sffm  # noqa: E402
+from .analyses.dc import dc, op_tran, DCSolution  # noqa: E402
+
+__all__ = [
+    "Circuit", "CompiledCircuit", "SimSpec", "DeviceModel", "devices",
+    "RESISTOR", "CAPACITOR", "INDUCTOR", "VSOURCE", "ISOURCE", "VCVS",
+    "VCCS", "CCCS", "CCVS", "DIODE", "DIODE_RS", "MOSFET1",
+    "DCWave", "Pulse", "Sin", "PWL", "Exp", "Sffm",
+    "dc", "op_tran", "DCSolution",
+]
+
+__version__ = "0.1.0"

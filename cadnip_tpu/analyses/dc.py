@@ -1,0 +1,82 @@
+"""DC operating-point analysis and named solutions.
+
+`dc(circuit)` == the reference's `dc!` (Cadnip `src/sweeps.jl:450` ->
+`MNA.solve_dc`, `src/mna/solve.jl:2389`); `DCSolution` mirrors the reference's
+name-addressable `DCSolution` (`solve.jl:156-332`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE
+from ..mna.newton import make_dc_solver
+from ..mna.spec import MODE_DCOP, MODE_TRANOP
+from ..mna.structure import CompiledCircuit
+
+
+class DCSolution:
+    """Name-addressable operating point: sol['out'] is a node voltage,
+    sol['v1#i'] a V-source/inductor branch current, sol.v('a','b') a
+    difference. Batched solutions (from vmapped sweeps) index the same way
+    with a leading sweep axis."""
+
+    def __init__(self, cc: CompiledCircuit, x, converged, iters,
+                 resnorm=None):
+        self.cc = cc
+        self.x = x
+        self.converged = converged
+        self.iters = iters
+        self.resnorm = resnorm
+
+    def __getitem__(self, name):
+        return self.x[..., self.cc.index_of(str(name))]
+
+    def v(self, p, n=None):
+        vp = self[p]
+        return vp if n is None else vp - self[n]
+
+    def i(self, source_name):
+        """Branch current through a V source or inductor."""
+        return self[f"{source_name}#i"]
+
+    def keys(self):
+        return self.cc.names.keys()
+
+    def __repr__(self):
+        conv = np.asarray(self.converged)
+        stat = "converged" if conv.all() else "NOT CONVERGED"
+        lines = [f"DCSolution({self.cc.title!r}, {stat}, "
+                 f"iters={np.asarray(self.iters)})"]
+        if self.x.ndim == 1:
+            for name, idx in sorted(self.cc.names.items(),
+                                    key=lambda kv: kv[1])[:40]:
+                lines.append(f"  {name:>16s} = {float(self.x[idx]):.6g}")
+        return "\n".join(lines)
+
+
+def _get_dc_solver(cc: CompiledCircuit):
+    key = "dc_solver"
+    if key not in cc.cache:
+        cc.cache[key] = jax.jit(make_dc_solver(cc))
+    return cc.cache[key]
+
+
+def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
+       time: float = 0.0) -> DCSolution:
+    """DC operating point with the full robustness chain."""
+    if params is None:
+        params = cc.params0()
+    if x0 is None:
+        x0 = jnp.zeros(cc.n, DTYPE)
+    dyn = cc.spec.dyn(mode=mode, time=time)
+    r = _get_dc_solver(cc)(x0, params, dyn)
+    return DCSolution(cc, r.x, r.converged, r.iters, r.resnorm)
+
+
+def op_tran(cc: CompiledCircuit, params=None, x0=None,
+            t0: float = 0.0) -> DCSolution:
+    """Operating point for transient start: time sources evaluated at t0
+    (reference CedarTranOp, `src/mna/dcop.jl:98`)."""
+    return dc(cc, params, x0, mode=MODE_TRANOP, time=t0)

@@ -1,0 +1,39 @@
+"""Global numeric configuration.
+
+Circuit simulation needs ~double precision for Newton convergence and
+LTE-controlled integration (node voltages 1e-9..1e3 V, currents 1e-15..1 A).
+On TPU:
+  * f64 elementwise ops and matmuls work (software emulated),
+  * LU decomposition is only implemented for f32 (and nominally c64, which is
+    unimplemented on v5e).
+So the framework evaluates residuals/Jacobians in float64 and solves linear
+systems with equilibrated f32 LU + iterative refinement in f64
+(see `cadnip_tpu.ops.linalg`). On CPU the solve is native f64.
+
+This module must be imported before any JAX computation is traced.
+"""
+from __future__ import annotations
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+#: working dtype for residual evaluation and state vectors
+DTYPE = jnp.float64
+#: dtype used inside LU factorization on TPU
+LU_DTYPE = jnp.float32
+
+
+def default_backend() -> str:
+    return jax.default_backend()
+
+
+def solve_method_for_backend(backend: str | None = None) -> str:
+    """Pick the linear-solve method: native f64 LU on CPU, f32 LU + iterative
+    refinement on TPU (where f64 LU does not compile)."""
+    b = backend or default_backend()
+    if b in ("cpu",):
+        return "lu64"
+    return "lu32ir"

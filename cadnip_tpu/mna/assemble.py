@@ -1,0 +1,158 @@
+"""Batched residual/Jacobian assembly.
+
+Per device group: gather local unknowns, evaluate the residual and its local
+Jacobian with `jax.linearize` (one primal pass + n_local tangent passes, all
+vmapped over instances), then scatter-add into the global system. Ground is a
+padding slot (index n): gathers read 0.0 from it and scatters into row/col n
+are sliced away — the fixed-shape equivalent of the reference's
+`GroundIndex` no-op stamps (Cadnip `src/mna/context.jl:40-101`).
+
+Dense backend first (right answer for the vmapped-sweep regime where batched
+dense LU dominates); the scatter index arrays are exactly the COO->nzval maps
+a sparse backend needs (`src/mna/precompile.jl:253`), so sparse plugs in here.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE
+from .devices import CLASS_I, CLASS_Q, CLASS_V
+from .spec import DynSpec
+from .structure import CompiledCircuit
+
+
+def _group_eval(model, u, u_lim_prev, p, dyn):
+    """Residual, charge, and their local Jacobians for ONE instance, with
+    limiting applied and the companion anchored at the limited point.
+
+    `u_lim_prev` is the evaluation point the device was limited to on the
+    PREVIOUS Newton iteration — SPICE limiter state semantics (the reference
+    materializes these as extra limit unknowns, `vasim.jl:3012-3017`). Using
+    the previous raw iterate instead breaks limiting whenever the iterate
+    oscillates back to the same value.
+    """
+    u_eval = (model.limit(u, u_lim_prev, p, dyn)
+              if model.limit is not None else u)
+
+    def fq(uu):
+        return model.residual(uu, p, dyn)
+
+    (f, q), lin = jax.linearize(fq, u_eval)
+    eye = jnp.eye(u.shape[0], dtype=u.dtype)
+    # lin(e_j) = (J @ e_j, C @ e_j): stacking over j gives the transposes
+    Jt, Ct = jax.vmap(lin)(eye)
+    J, C = Jt.T, Ct.T
+    du = u - u_eval
+    f = f + J @ du
+    q = q + C @ du
+    return f, q, J, C, u_eval
+
+
+def make_assembler(cc: CompiledCircuit):
+    """Build the assembly closures for a compiled circuit.
+
+    Returns an object with:
+      assemble(x_pad, lim, params, dyn) -> (F, Q, G, C, lim_new)
+      init_lim(x_pad) -> lim          (limiter state seeded from a state)
+
+    x_pad has length n+1 (ground slot last, always 0). F/Q have length n;
+    G/C are dense [n, n]. `lim` holds each limited device's last evaluation
+    point, concatenated over groups ([n_lim_total] flat). All shapes fixed at
+    trace time.
+    """
+    n = cc.n
+    np1 = n + 1
+    consts = []
+    lim_off = 0
+    for g in cc.groups:
+        conn = jnp.asarray(g.conn, jnp.int32)
+        lin = (g.conn[:, :, None] * np1 + g.conn[:, None, :]).reshape(-1)
+        sl = None
+        if g.model.limit is not None:
+            size = g.conn.size
+            sl = (lim_off, lim_off + size, g.conn.shape)
+            lim_off += size
+        consts.append((g.model, conn, jnp.asarray(lin, jnp.int32), sl))
+    n_lim = lim_off
+    # gshunt lands on node-voltage diagonals only (reference build.jl gshunt)
+    vnode_idx = jnp.asarray(np.where(cc.classes == CLASS_V)[0], jnp.int32)
+
+    def init_lim(x_pad):
+        if n_lim == 0:
+            return jnp.zeros(0, DTYPE)
+        parts = []
+        for model, conn, _, sl in consts:
+            if sl is not None:
+                parts.append(x_pad[conn].reshape(-1))
+        return jnp.concatenate(parts)
+
+    def assemble(x_pad, lim, params, dyn: DynSpec):
+        F = jnp.zeros(np1, DTYPE)
+        Q = jnp.zeros(np1, DTYPE)
+        Gf = jnp.zeros(np1 * np1, DTYPE)
+        Cf = jnp.zeros(np1 * np1, DTYPE)
+        lim_new = lim
+        for (model, conn, lin, sl), p in zip(consts, params):
+            u = x_pad[conn]
+            if sl is not None:
+                u_lim_prev = lim[sl[0]:sl[1]].reshape(sl[2])
+            else:
+                u_lim_prev = u
+            f, q, J, C, u_eval = jax.vmap(
+                partial(_group_eval, model), in_axes=(0, 0, 0, None)
+            )(u, u_lim_prev, p, dyn)
+            if sl is not None:
+                lim_new = lim_new.at[sl[0]:sl[1]].set(u_eval.reshape(-1))
+            flat = conn.reshape(-1)
+            F = F.at[flat].add(f.reshape(-1))
+            Q = Q.at[flat].add(q.reshape(-1))
+            Gf = Gf.at[lin].add(J.reshape(-1))
+            Cf = Cf.at[lin].add(C.reshape(-1))
+        G = Gf.reshape(np1, np1)[:n, :n]
+        C = Cf.reshape(np1, np1)[:n, :n]
+        F = F[:n]
+        Q = Q[:n]
+        # gshunt homotopy shunts on node diagonals (residual AND jacobian)
+        F = F.at[vnode_idx].add(dyn.gshunt * x_pad[vnode_idx])
+        G = G.at[vnode_idx, vnode_idx].add(dyn.gshunt)
+        return F, Q, G, C, lim_new
+
+    assemble.init_lim = init_lim
+    assemble.n_lim = n_lim
+    return assemble
+
+
+def make_ac_rhs(cc: CompiledCircuit):
+    """Build b_ac(params) -> (br, bi): the small-signal excitation vector from
+    sources with nonzero acmag (reference `stamp_b_ac!`, `context.jl:945-1014`
+    deferred AC channel)."""
+    n = cc.n
+    rows_signs = []
+    for gi, g in enumerate(cc.groups):
+        if not g.model.ac_rhs:
+            continue
+        for local, sign in g.model.ac_rhs:
+            rows = jnp.asarray(g.conn[:, local], jnp.int32)
+            rows_signs.append((gi, rows, sign))
+
+    def b_ac(params):
+        br = jnp.zeros(n + 1, DTYPE)
+        bi = jnp.zeros(n + 1, DTYPE)
+        for gi, rows, sign in rows_signs:
+            mag = params[gi]["acmag"]
+            ph = params[gi]["acphase"] * (jnp.pi / 180.0)
+            br = br.at[rows].add(sign * mag * jnp.cos(ph))
+            bi = bi.at[rows].add(sign * mag * jnp.sin(ph))
+        return br[:n], bi[:n]
+
+    return b_ac
+
+
+def pad_state(x):
+    """Append the ground slot (0.0)."""
+    return jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (1,), x.dtype)],
+                           axis=-1)

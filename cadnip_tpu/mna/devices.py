@@ -1,0 +1,376 @@
+"""Built-in device models as pure residual functions.
+
+The central abstraction of the framework — replacing the reference's `stamp!`
+methods (Cadnip `src/mna/devices.jl`) and its dual-number contribution engine
+(`src/mna/contrib.jl`): a device is a *pure function*
+
+    residual(u_local, params, dyn) -> (f_local, q_local)
+
+where `u_local` holds the device's local unknowns (terminal voltages followed
+by internal unknowns such as branch currents), `f_local` is the resistive
+current flowing out of each unknown's KCL/branch row, and `q_local` the charge
+(or flux) whose time derivative adds to that row:
+
+    sum_devices scatter(f) + d/dt sum_devices scatter(q) = 0.
+
+The MNA matrices are *derived*, not hand-stamped: G = ∂f/∂u and C = ∂q/∂u via
+`jax.jacfwd`, vmapped over all instances of a model class (the reference needed
+a hand-rolled two-tag dual system for this, `contrib.jl:71-101`; in JAX it is
+the native transform). Newton limiting (SPICE pnjlim) is an optional
+
+    limit(u, u_prev, params, dyn) -> u_eval
+
+hook; the assembler anchors the companion model at `u_eval`
+(f_eff = f(u_eval) + J(u_eval)(u - u_eval)), mirroring the reference's
+`stamp_limited_companion!` (`src/mna/devices.jl:1251-1258`).
+
+Noise is a third optional channel: `noise(u, p, dyn) -> psd` giving each
+instance's noise-current PSD sources between local node pairs (used by
+`analyses/noise.py`), mirroring noise registration inside reference stamps
+(e.g. `devices.jl:503`, `:1396-1443`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from .spec import DynSpec, KB, MODE_DCOP, QE
+from .waveforms import eval_wave
+
+# unknown classes: select the per-class absolute tolerance (reference
+# `src/mna/build.jl:276` state_abstol)
+CLASS_V = 0   # node voltage      -> vntol
+CLASS_I = 1   # branch current    -> abstol
+CLASS_Q = 2   # charge-like state -> chgtol
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class DeviceModel:
+    """Static description of a device class. Hash/eq by identity: each model
+    object defines a vmapped evaluation group."""
+
+    name: str
+    terminals: tuple                      # external terminal names
+    residual: Callable                    # (u, p, dyn) -> (f, q)
+    internals: tuple = ()                 # (name, CLASS_*) extra unknowns
+    defaults: dict = dataclasses.field(default_factory=dict)
+    limit: Optional[Callable] = None      # (u, u_prev, p, dyn) -> u_eval
+    noise: Optional[Callable] = None      # (u, p, dyn) -> psd coefficient dict
+    noise_pairs: tuple = ()               # ((p_idx, n_idx), ...) per psd entry
+    ac_source: bool = False               # contributes to the AC rhs
+    # ((local_idx, sign), ...): rows receiving +sign*acmag∠acphase in b_ac
+    ac_rhs: tuple = ()
+    # collapse internal node to terminal when a param is zero, etc. (future)
+
+    @property
+    def n_terminals(self):
+        return len(self.terminals)
+
+    @property
+    def n_local(self):
+        return len(self.terminals) + len(self.internals)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _src_value(p, dyn: DynSpec):
+    """Independent-source value respecting analysis mode and srcfact.
+
+    DCOP uses the DC value; TRANOP/TRAN evaluate the waveform at dyn.time
+    (reference CedarDCOp vs CedarTranOp semantics, `src/mna/dcop.jl:74-98`).
+    srcfact scales the source for source-stepping homotopy.
+    """
+    vdc = p["wave"]["dc"]
+    vt = eval_wave(p["wave"]["kind"], p["wave"]["coeffs"], p["wave"]["ncoef"],
+                   dyn.time)
+    v = jnp.where(dyn.mode == MODE_DCOP, vdc, vt)
+    return v * dyn.srcfact
+
+
+def _z(u):
+    return jnp.zeros_like(u)
+
+
+# ---------------------------------------------------------------------------
+# linear two-terminal devices
+
+def _resistor_residual(u, p, dyn):
+    g = 1.0 / p["r"]
+    i = g * (u[0] - u[1])
+    return jnp.stack([i, -i]), _z(u)
+
+
+def _resistor_noise(u, p, dyn):
+    # thermal: S_i = 4kT/R (one source between the two terminals)
+    return jnp.stack([4.0 * KB * dyn.temp / p["r"]])
+
+
+RESISTOR = DeviceModel(
+    name="resistor", terminals=("p", "n"), residual=_resistor_residual,
+    defaults={"r": 1e3}, noise=_resistor_noise, noise_pairs=((0, 1),))
+
+
+def _capacitor_residual(u, p, dyn):
+    q = p["c"] * (u[0] - u[1])
+    return _z(u), jnp.stack([q, -q])
+
+
+CAPACITOR = DeviceModel(
+    name="capacitor", terminals=("p", "n"), residual=_capacitor_residual,
+    defaults={"c": 1e-12})
+
+
+def _inductor_residual(u, p, dyn):
+    # unknowns: [vp, vn, i]; branch row: vp - vn - L di/dt = 0
+    vp, vn, i = u[0], u[1], u[2]
+    f = jnp.stack([i, -i, vp - vn])
+    q = jnp.stack([0.0 * i, 0.0 * i, -p["l"] * i])
+    return f, q
+
+
+INDUCTOR = DeviceModel(
+    name="inductor", terminals=("p", "n"), residual=_inductor_residual,
+    internals=(("i", CLASS_I),), defaults={"l": 1e-9})
+
+
+# ---------------------------------------------------------------------------
+# independent sources
+
+def _vsource_residual(u, p, dyn):
+    vp, vn, i = u[0], u[1], u[2]
+    v = _src_value(p, dyn)
+    return jnp.stack([i, -i, vp - vn - v]), _z(u)
+
+
+VSOURCE = DeviceModel(
+    name="vsource", terminals=("p", "n"), residual=_vsource_residual,
+    internals=(("i", CLASS_I),),
+    defaults={"acmag": 0.0, "acphase": 0.0}, ac_source=True,
+    ac_rhs=((2, 1.0),))
+
+
+def _isource_residual(u, p, dyn):
+    i = _src_value(p, dyn)
+    return jnp.stack([i, -i]), _z(u)
+
+
+ISOURCE = DeviceModel(
+    name="isource", terminals=("p", "n"), residual=_isource_residual,
+    defaults={"acmag": 0.0, "acphase": 0.0}, ac_source=True,
+    ac_rhs=((0, -1.0), (1, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# controlled sources (E/G/F/H). Current-controlled variants sense the branch
+# current of a V source (SPICE semantics): that current unknown is wired in as
+# an extra local connection at elaboration time.
+
+def _vcvs_residual(u, p, dyn):
+    vp, vn, vcp, vcn, i = u[0], u[1], u[2], u[3], u[4]
+    f = jnp.stack([i, -i, 0 * i, 0 * i, vp - vn - p["gain"] * (vcp - vcn)])
+    return f, _z(u)
+
+
+VCVS = DeviceModel(
+    name="vcvs", terminals=("p", "n", "cp", "cn"), residual=_vcvs_residual,
+    internals=(("i", CLASS_I),), defaults={"gain": 1.0})
+
+
+def _vccs_residual(u, p, dyn):
+    vp, vn, vcp, vcn = u[0], u[1], u[2], u[3]
+    i = p["gm"] * (vcp - vcn)
+    return jnp.stack([i, -i, 0 * i, 0 * i]), _z(u)
+
+
+VCCS = DeviceModel(
+    name="vccs", terminals=("p", "n", "cp", "cn"), residual=_vccs_residual,
+    defaults={"gm": 1.0})
+
+
+def _cccs_residual(u, p, dyn):
+    # u = [vp, vn, i_sense]; i_sense is the sensed V-source branch current,
+    # a read-only coupling: this device adds nothing to the sensed row.
+    i = p["gain"] * u[2]
+    return jnp.stack([i, -i, 0 * u[2]]), _z(u)
+
+
+CCCS = DeviceModel(
+    name="cccs", terminals=("p", "n", "isense"), residual=_cccs_residual,
+    defaults={"gain": 1.0})
+
+
+def _ccvs_residual(u, p, dyn):
+    vp, vn, isense, i = u[0], u[1], u[2], u[3]
+    f = jnp.stack([i, -i, 0 * i, vp - vn - p["r"] * isense])
+    return f, _z(u)
+
+
+CCVS = DeviceModel(
+    name="ccvs", terminals=("p", "n", "isense"), residual=_ccvs_residual,
+    internals=(("i", CLASS_I),), defaults={"r": 1.0})
+
+
+# ---------------------------------------------------------------------------
+# diode (SPICE level-1 junction): forward exponential + breakdown + junction
+# and diffusion charge; pnjlim limiting. Series rs (when nonzero) uses the
+# 3-unknown variant with an internal node, selected at elaboration.
+
+def _diode_ivq(vd, p, dyn):
+    vt = p["n"] * dyn.vt
+    is_ = p["is"] * p["area"]
+    # forward/reverse exponential with overflow-safe limexp-style clamp
+    x = jnp.clip(vd / vt, -80.0, 80.0)
+    idf = is_ * (jnp.exp(x) - 1.0)
+    # breakdown: exponential onset below -bv (bv<=0 disables)
+    bv = p["bv"]
+    xb = jnp.clip(-(vd + bv) / dyn.vt, -80.0, 80.0)
+    ibr = jnp.where(bv > 0.0, -p["ibv"] * jnp.exp(xb), 0.0)
+    i = idf + ibr + dyn.gmin * vd
+    # junction charge (standard fc linearization) + diffusion charge
+    cj0, vj, m, fc = p["cjo"] * p["area"], p["vj"], p["m"], p["fc"]
+    fcv = fc * vj
+    qj_below = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(
+        jnp.maximum(1.0 - jnp.minimum(vd, fcv) / vj, 1e-6), 1.0 - m))
+    f1 = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(1.0 - fc, 1.0 - m))
+    f2 = jnp.power(1.0 - fc, -1.0 - m)
+    qj_above = f1 + cj0 * f2 * ((1.0 - fc * (1.0 + m)) * (vd - fcv)
+                                + 0.5 * m / vj * (vd * vd - fcv * fcv))
+    qj = jnp.where(vd < fcv, qj_below, qj_above)
+    q = qj + p["tt"] * idf
+    return i, q
+
+
+def _diode_residual(u, p, dyn):
+    i, q = _diode_ivq(u[0] - u[1], p, dyn)
+    return jnp.stack([i, -i]), jnp.stack([q, -q])
+
+
+def pnjlim(vnew, vold, vt, vcrit):
+    """SPICE3 junction-voltage limiter (reference `devices.jl:1169-1189`)."""
+    big = (vnew > vcrit) & (jnp.abs(vnew - vold) > 2.0 * vt)
+    arg = 1.0 + (vnew - vold) / vt
+    v_pos = jnp.where(arg > 0.0, vold + vt * jnp.log(jnp.maximum(arg, 1e-300)),
+                      vcrit)
+    v_neg = vt * jnp.log(jnp.maximum(vnew / vt, 1e-300))
+    vlim = jnp.where(vold > 0.0, v_pos, v_neg)
+    return jnp.where(big, vlim, vnew)
+
+
+def _vcrit(p, dyn):
+    vt = p["n"] * dyn.vt
+    return vt * jnp.log(vt / (math.sqrt(2.0) * jnp.maximum(
+        p["is"] * p["area"], 1e-300)))
+
+
+def _diode_limit(u, u_prev, p, dyn):
+    vd = pnjlim(u[0] - u[1], u_prev[0] - u_prev[1], p["n"] * dyn.vt,
+                _vcrit(p, dyn))
+    # move the limited junction delta onto the anode side
+    return u.at[0].set(u[1] + vd)
+
+
+def _diode_noise(u, p, dyn):
+    # shot noise 2qId (+ flicker kf*Id^af/f handled by the FLICKER kind)
+    i, _ = _diode_ivq(u[0] - u[1], p, dyn)
+    return jnp.stack([2.0 * QE * jnp.abs(i)])
+
+
+_DIODE_DEFAULTS = {"is": 1e-14, "n": 1.0, "rs": 0.0, "cjo": 0.0, "vj": 1.0,
+                   "m": 0.5, "fc": 0.5, "tt": 0.0, "bv": 0.0, "ibv": 1e-3,
+                   "area": 1.0}
+
+DIODE = DeviceModel(
+    name="diode", terminals=("p", "n"), residual=_diode_residual,
+    defaults=dict(_DIODE_DEFAULTS), limit=_diode_limit,
+    noise=_diode_noise, noise_pairs=((0, 1),))
+
+
+def _diode_rs_residual(u, p, dyn):
+    # u = [vp, vn, vint]; rs between p and internal anode
+    vp, vn, vi = u[0], u[1], u[2]
+    g = 1.0 / jnp.maximum(p["rs"], 1e-12)
+    ir = g * (vp - vi)
+    i, q = _diode_ivq(vi - vn, p, dyn)
+    f = jnp.stack([ir, -i, i - ir])
+    qv = jnp.stack([0.0 * q, -q, q])
+    return f, qv
+
+
+def _diode_rs_limit(u, u_prev, p, dyn):
+    vd = pnjlim(u[2] - u[1], u_prev[2] - u_prev[1], p["n"] * dyn.vt,
+                _vcrit(p, dyn))
+    return u.at[2].set(u[1] + vd)
+
+
+def _diode_rs_noise(u, p, dyn):
+    i, _ = _diode_ivq(u[2] - u[1], p, dyn)
+    return jnp.stack([2.0 * QE * jnp.abs(i),
+                      4.0 * KB * dyn.temp / jnp.maximum(p["rs"], 1e-12)])
+
+
+DIODE_RS = DeviceModel(
+    name="diode_rs", terminals=("p", "n"), residual=_diode_rs_residual,
+    internals=(("int", CLASS_V),), defaults=dict(_DIODE_DEFAULTS),
+    limit=_diode_rs_limit, noise=_diode_rs_noise,
+    noise_pairs=((2, 1), (0, 2)))
+
+
+# ---------------------------------------------------------------------------
+# MOSFET level 1 (square law with channel-length modulation), matching the
+# reference's SimpleMOSFET (`src/mna/devices.jl` SimpleMOSFET) but 4-terminal
+# with fixed overlap capacitances for transient realism.
+
+def _mos1_ids(vgs, vds, p):
+    beta = p["kp"] * p["w"] / p["l"]
+    vov = vgs - p["vth"]
+    clm = 1.0 + p["lambda"] * vds
+    i_sat = 0.5 * beta * vov * vov * clm
+    i_tri = beta * (vov - 0.5 * vds) * vds * clm
+    i_on = jnp.where(vds > vov, i_sat, i_tri)
+    return jnp.where(vov <= 0.0, 0.0, i_on)
+
+
+def _mos1_residual(u, p, dyn):
+    # u = [vd, vg, vs, vb]; `type` is +1 NMOS / -1 PMOS
+    ty = p["type"]
+    vd, vg, vs, vb = ty * u[0], ty * u[1], ty * u[2], ty * u[3]
+    # source/drain swap for reverse operation (square law is symmetric)
+    fwd = vd >= vs
+    vgs = jnp.where(fwd, vg - vs, vg - vd)
+    vds = jnp.abs(vd - vs)
+    ids = _mos1_ids(vgs, vds, p) * jnp.where(fwd, 1.0, -1.0) * ty
+    ids = ids + dyn.gmin * (u[0] - u[2])
+    f = jnp.stack([ids, 0.0 * ids, -ids, 0.0 * ids])
+    # fixed gate caps: cgs between g-s, cgd g-d, cgb g-b
+    qgs = p["cgs"] * (u[1] - u[2])
+    qgd = p["cgd"] * (u[1] - u[0])
+    qgb = p["cgb"] * (u[1] - u[3])
+    q = jnp.stack([-qgd, qgs + qgd + qgb, -qgs, -qgb])
+    return f, q
+
+
+def _mos1_noise(u, p, dyn):
+    # channel thermal noise 8/3 kT gm (reference `devices.jl:1718-1732`)
+    ty = p["type"]
+    vd, vg, vs = ty * u[0], ty * u[1], ty * u[2]
+    fwd = vd >= vs
+    vgs = jnp.where(fwd, vg - vs, vg - vd)
+    vov = jnp.maximum(vgs - p["vth"], 0.0)
+    gm = p["kp"] * p["w"] / p["l"] * vov
+    return jnp.stack([8.0 / 3.0 * KB * dyn.temp * gm])
+
+
+MOSFET1 = DeviceModel(
+    name="mos1", terminals=("d", "g", "s", "b"), residual=_mos1_residual,
+    defaults={"type": 1.0, "vth": 0.7, "kp": 110e-6, "lambda": 0.0,
+              "w": 1e-6, "l": 1e-6, "cgs": 0.0, "cgd": 0.0, "cgb": 0.0},
+    noise=_mos1_noise, noise_pairs=((0, 2),))
+
+
+BUILTINS = {m.name: m for m in
+            (RESISTOR, CAPACITOR, INDUCTOR, VSOURCE, ISOURCE,
+             VCVS, VCCS, CCCS, CCVS, DIODE, DIODE_RS, MOSFET1)}

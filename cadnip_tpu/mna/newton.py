@@ -1,0 +1,135 @@
+"""Newton–Raphson DC solve with the SPICE robustness chain.
+
+Pure JAX (lax.while_loop / lax.scan) so the whole solve vmaps over parameter
+sweeps and jits into one XLA program. Mirrors the reference's fallback chain
+PCNR -> Newton -> GMIN stepping -> source stepping
+(Cadnip `src/mna/solve.jl:599-929`); device-level pnjlim limiting plays the
+role of PCNR's predictor/corrector limiting.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE, solve_method_for_backend
+from ..ops.linalg import solve as dense_solve
+from .assemble import make_assembler, pad_state
+from .devices import CLASS_I, CLASS_Q, CLASS_V
+from .spec import DynSpec, SimSpec
+from .structure import CompiledCircuit
+
+
+def abstol_vector(cc: CompiledCircuit) -> jnp.ndarray:
+    """Per-unknown absolute tolerance by class (reference `build.jl:276`)."""
+    s = cc.spec
+    tab = np.array([s.vntol, s.abstol, s.chgtol])
+    return jnp.asarray(tab[cc.classes], DTYPE)
+
+
+class NewtonResult(NamedTuple):
+    x: jnp.ndarray
+    converged: jnp.ndarray   # bool
+    iters: jnp.ndarray       # int32
+    resnorm: jnp.ndarray     # max-abs KCL residual at the solution
+
+
+def make_newton(cc: CompiledCircuit, assemble=None, method: str | None = None):
+    """Build newton(x0, params, dyn) -> NewtonResult (traced, vmappable)."""
+    spec = cc.spec
+    assemble = assemble or make_assembler(cc)
+    method = method or solve_method_for_backend()
+    atol = abstol_vector(cc)
+    is_v = jnp.asarray(cc.classes == CLASS_V)
+    max_iters = spec.max_newton_iters
+
+    def step(x, lim, params, dyn):
+        xp = pad_state(x)
+        F, _, G, _, lim_new = assemble(xp, lim, params, dyn)
+        dx = dense_solve(G, -F, method=method)
+        if spec.max_dv > 0:
+            dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv, spec.max_dv), dx)
+        x_new = x + dx
+        ok_dx = jnp.abs(dx) <= spec.reltol * jnp.maximum(jnp.abs(x_new),
+                                                         jnp.abs(x)) + atol
+        return x_new, lim_new, jnp.all(ok_dx), jnp.max(jnp.abs(F))
+
+    def newton(x0, params, dyn: DynSpec, lim0=None) -> NewtonResult:
+        def cond(c):
+            _, _, it, done, _ = c
+            return (~done) & (it < max_iters)
+
+        def body(c):
+            x, lim, it, _, _ = c
+            x_new, lim_new, ok, resnorm = step(x, lim, params, dyn)
+            bad = ~jnp.all(jnp.isfinite(x_new))
+            x_new = jnp.where(bad, x, x_new)
+            lim_new = jnp.where(bad, lim, lim_new)
+            return (x_new, lim_new, it + 1, ok & ~bad, resnorm)
+
+        x0 = jnp.asarray(x0, DTYPE)
+        if lim0 is None:
+            lim0 = assemble.init_lim(pad_state(x0))
+        init = (x0, lim0, jnp.int32(0), jnp.asarray(False),
+                jnp.asarray(jnp.inf, DTYPE))
+        x, _, it, done, resnorm = jax.lax.while_loop(cond, body, init)
+        return NewtonResult(x=x, converged=done, iters=it, resnorm=resnorm)
+
+    return newton
+
+
+def make_dc_solver(cc: CompiledCircuit, assemble=None,
+                   method: str | None = None):
+    """Full DC chain: Newton -> gmin(gshunt) stepping -> source stepping,
+    entirely in lax control flow (reference `_dc_solve_with_fallbacks`,
+    `solve.jl:871-929`)."""
+    spec = cc.spec
+    newton = make_newton(cc, assemble=assemble, method=method)
+
+    # gshunt ladder: gshunt_start down to the target, log-spaced, then a
+    # final solve at the target gshunt
+    gl = np.geomspace(spec.gshunt_start, max(spec.gshunt, 1e-15),
+                      spec.gmin_steps)
+    gshunt_ladder = jnp.asarray(np.append(gl, spec.gshunt), DTYPE)
+    src_ramp = jnp.asarray(np.linspace(1.0 / spec.src_steps, 1.0,
+                                       spec.src_steps), DTYPE)
+
+    def _gmin_stepping(x0, params, dyn):
+        def body(carry, gs):
+            x, all_ok = carry
+            r = newton(x, params, dyn._replace(gshunt=gs))
+            return (r.x, all_ok & r.converged), None
+
+        (x, ok), _ = jax.lax.scan(body, (x0, jnp.asarray(True)),
+                                  gshunt_ladder)
+        return NewtonResult(x=x, converged=ok, iters=jnp.int32(0),
+                            resnorm=jnp.asarray(0.0, DTYPE))
+
+    def _source_stepping(x0, params, dyn):
+        def body(carry, sf):
+            x, all_ok = carry
+            r = newton(x, params, dyn._replace(srcfact=sf))
+            return (r.x, all_ok & r.converged), None
+
+        (x, ok), _ = jax.lax.scan(body, (x0, jnp.asarray(True)), src_ramp)
+        return NewtonResult(x=x, converged=ok, iters=jnp.int32(0),
+                            resnorm=jnp.asarray(0.0, DTYPE))
+
+    def dc_solve(x0, params, dyn: DynSpec) -> NewtonResult:
+        r1 = newton(x0, params, dyn)
+
+        def fallback_gmin(_):
+            r2 = _gmin_stepping(x0, params, dyn)
+
+            def fallback_src(_):
+                r3 = _source_stepping(x0, params, dyn)
+                return r3
+            return jax.lax.cond(r2.converged, lambda _: r2, fallback_src,
+                                None)
+
+        return jax.lax.cond(r1.converged, lambda _: r1, fallback_gmin, None)
+
+    return dc_solve

@@ -1,0 +1,270 @@
+"""Circuit construction and elaboration to a fixed-structure compiled form.
+
+The reference discovers structure by running the builder through `MNAContext`
+once, then restamps values through `DirectStampContext`
+(Cadnip `src/mna/context.jl`, `src/mna/value_only.jl`). Here the split is
+host/device: *all* structure (node table, unknown indices, device grouping,
+scatter index arrays) is computed in Python at elaboration, and the traced
+numeric code only ever sees fixed-shape gathers/scatters — the JAX analogue of
+`compile_structure` (`src/mna/precompile.jl:312-443`).
+
+Instances of the same `DeviceModel` form one *group*, evaluated as a single
+vmapped batch (the TPU answer to the reference's serial chain of inlined stamp
+calls, see SURVEY §2.10.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE
+from .devices import CLASS_I, CLASS_V, DeviceModel
+from .spec import SimSpec
+from .waveforms import Waveform, pack_waveforms
+
+GROUND_NAMES = ("0", "gnd", "GND", "Gnd")
+
+
+@dataclasses.dataclass
+class Instance:
+    model: DeviceModel
+    name: str
+    nodes: tuple                       # node names (terminals only)
+    params: dict                       # scalar overrides
+    wave: Optional[Waveform] = None
+    sense: Optional[str] = None        # V-source name for CCCS/CCVS
+
+
+@dataclasses.dataclass
+class Group:
+    """All instances of one model, batched."""
+    model: DeviceModel
+    names: list
+    conn: np.ndarray                   # [n_inst, n_local] global unknown idx
+    params: dict                       # param name -> np.ndarray [n_inst]
+    waves: Optional[list] = None       # list[Waveform] if model uses waveforms
+
+    @property
+    def n_inst(self):
+        return len(self.names)
+
+
+class Circuit:
+    """Programmatic netlist. The SPICE/Spectre/VA front ends all lower to
+    this API; users can also drive it directly."""
+
+    def __init__(self, title: str = "circuit"):
+        self.title = title
+        self.instances: list[Instance] = []
+        self._names = set()
+
+    def add(self, model: DeviceModel, name: str, nodes, *,
+            wave: Waveform | None = None, sense: str | None = None,
+            **params):
+        if name in self._names:
+            raise ValueError(f"duplicate instance name {name!r}")
+        unknown = set(params) - set(model.defaults)
+        if unknown:
+            raise ValueError(
+                f"{name}: unknown parameter(s) {sorted(unknown)} for model "
+                f"{model.name!r}; valid: {sorted(model.defaults)}")
+        nodes = tuple(str(n) for n in nodes)
+        n_term = len(model.terminals)
+        if sense is not None:
+            n_term -= 1  # the sense current is wired at elaboration
+        if len(nodes) != n_term:
+            raise ValueError(f"{name}: model {model.name!r} needs {n_term} "
+                             f"nodes, got {len(nodes)}")
+        self._names.add(name)
+        self.instances.append(Instance(model, name, nodes, dict(params),
+                                       wave, sense))
+        return self
+
+    # convenience wrappers -------------------------------------------------
+    def R(self, name, p, n, r):
+        from .devices import RESISTOR
+        return self.add(RESISTOR, name, (p, n), r=float(r))
+
+    def C(self, name, p, n, c):
+        from .devices import CAPACITOR
+        return self.add(CAPACITOR, name, (p, n), c=float(c))
+
+    def L(self, name, p, n, l):
+        from .devices import INDUCTOR
+        return self.add(INDUCTOR, name, (p, n), l=float(l))
+
+    def V(self, name, p, n, wave=None, dc=0.0, acmag=0.0, acphase=0.0):
+        from .devices import VSOURCE
+        from .waveforms import DC
+        if wave is None:
+            wave = DC(dc)
+        return self.add(VSOURCE, name, (p, n), wave=wave,
+                        acmag=float(acmag), acphase=float(acphase))
+
+    def I(self, name, p, n, wave=None, dc=0.0, acmag=0.0, acphase=0.0):
+        from .devices import ISOURCE
+        from .waveforms import DC
+        if wave is None:
+            wave = DC(dc)
+        return self.add(ISOURCE, name, (p, n), wave=wave,
+                        acmag=float(acmag), acphase=float(acphase))
+
+    def D(self, name, anode, cathode, **params):
+        from .devices import DIODE, DIODE_RS
+        model = DIODE_RS if params.get("rs", 0.0) else DIODE
+        return self.add(model, name, (anode, cathode), **params)
+
+    def M(self, name, d, g, s, b="0", **params):
+        from .devices import MOSFET1
+        return self.add(MOSFET1, name, (d, g, s, b), **params)
+
+    def compile(self, spec: SimSpec | None = None) -> "CompiledCircuit":
+        return elaborate(self, spec or SimSpec())
+
+
+@dataclasses.dataclass
+class CompiledCircuit:
+    """Fixed structure + default parameters; all solver entry points hang off
+    this (the analogue of the reference's `MNACircuit`, `solve.jl:1585`)."""
+
+    title: str
+    n: int                              # number of unknowns (excl. ground)
+    node_names: dict                    # node name -> unknown index
+    names: dict                         # every named unknown -> index
+    classes: np.ndarray                 # [n] CLASS_* per unknown
+    groups: list                        # list[Group]
+    spec: SimSpec
+    param_slots: dict                   # "inst.param" -> (gi, pname, slot)
+    inst_group: dict                    # inst name -> (gi, slot)
+    cache: dict = dataclasses.field(default_factory=dict)  # jitted solvers
+
+    # ------------------------------------------------------------------ params
+    def params0(self):
+        """Default parameter pytree: list over groups of {name: f64[n_inst]},
+        with packed waveforms under 'wave'."""
+        out = []
+        for g in self.groups:
+            d = {k: jnp.asarray(v, DTYPE) for k, v in g.params.items()}
+            if g.waves is not None:
+                d["wave"] = pack_waveforms(g.waves)
+            out.append(d)
+        return out
+
+    def alter(self, params, **overrides):
+        """Functionally update instance parameters: alter(p, **{'r1.r': 2e3}).
+        Values may be scalars or arrays (for vmapped sweeps, add a leading
+        batch axis and vmap the solver)."""
+        params = [dict(d) for d in params]
+        for key, val in overrides.items():
+            if key not in self.param_slots:
+                valid = ", ".join(sorted(self.param_slots)[:8])
+                raise KeyError(f"unknown parameter {key!r}; e.g. {valid}")
+            gi, pname, slot = self.param_slots[key]
+            arr = params[gi][pname]
+            val = jnp.asarray(val, DTYPE)
+            if val.ndim == 0:
+                params[gi] = dict(params[gi])
+                params[gi][pname] = arr.at[slot].set(val)
+            else:
+                # batched override: broadcast group param to [batch, n_inst]
+                batch = val.shape[0]
+                if arr.ndim == 1:
+                    arr = jnp.broadcast_to(arr, (batch,) + arr.shape)
+                params[gi] = dict(params[gi])
+                params[gi][pname] = arr.at[:, slot].set(val)
+        return params
+
+    def index_of(self, name: str) -> int:
+        if name in self.names:
+            return self.names[name]
+        raise KeyError(f"unknown node/unknown {name!r}; known: "
+                       f"{sorted(self.names)[:12]}...")
+
+
+def elaborate(cir: Circuit, spec: SimSpec) -> CompiledCircuit:
+    # ---- node table (ground excluded; padding slot == n_unknowns)
+    node_names: dict[str, int] = {}
+    for inst in cir.instances:
+        for nd in inst.nodes:
+            if nd in GROUND_NAMES or nd in node_names:
+                continue
+            node_names[nd] = len(node_names)
+    n_nodes = len(node_names)
+
+    # ---- group instances by model, preserving first-seen order
+    order: list[DeviceModel] = []
+    by_model: dict[DeviceModel, list[Instance]] = {}
+    for inst in cir.instances:
+        if inst.model not in by_model:
+            by_model[inst.model] = []
+            order.append(inst.model)
+        by_model[inst.model].append(inst)
+
+    # ---- allocate internal unknowns
+    names = dict(node_names)
+    classes = [CLASS_V] * n_nodes
+    next_idx = n_nodes
+    internal_idx: dict[tuple, int] = {}   # (inst_name, internal_name) -> idx
+    branch_of_vsource: dict[str, int] = {}
+    for model in order:
+        for inst in by_model[model]:
+            for iname, icls in model.internals:
+                idx = next_idx
+                next_idx += 1
+                internal_idx[(inst.name, iname)] = idx
+                names[f"{inst.name}#{iname}"] = idx
+                classes.append(icls)
+                if model.name == "vsource" and iname == "i":
+                    branch_of_vsource[inst.name] = idx
+    n = next_idx
+    ground = n  # padding slot
+
+    def node_idx(nd: str) -> int:
+        return ground if nd in GROUND_NAMES else node_names[nd]
+
+    # ---- build groups
+    groups: list[Group] = []
+    param_slots: dict[str, tuple] = {}
+    inst_group: dict[str, tuple] = {}
+    for gi, model in enumerate(order):
+        insts = by_model[model]
+        conn = np.full((len(insts), model.n_local), ground, np.int64)
+        pvals = {k: np.full(len(insts), float(v))
+                 for k, v in model.defaults.items()}
+        waves = [] if any(i.wave is not None for i in insts) else None
+        for si, inst in enumerate(insts):
+            col = 0
+            for t in range(len(model.terminals)):
+                tname = model.terminals[t]
+                if tname == "isense":
+                    if inst.sense is None:
+                        raise ValueError(f"{inst.name}: needs sense= V-source")
+                    if inst.sense not in branch_of_vsource:
+                        raise ValueError(
+                            f"{inst.name}: sensed V-source {inst.sense!r} "
+                            f"not found")
+                    conn[si, col] = branch_of_vsource[inst.sense]
+                else:
+                    conn[si, col] = node_idx(inst.nodes[col])
+                col += 1
+            for iname, _ in model.internals:
+                conn[si, col] = internal_idx[(inst.name, iname)]
+                col += 1
+            for k, v in inst.params.items():
+                pvals[k][si] = float(v)
+            for k in model.defaults:
+                param_slots[f"{inst.name}.{k}"] = (gi, k, si)
+            inst_group[inst.name] = (gi, si)
+            if waves is not None:
+                from .waveforms import DC as _DC
+                waves.append(inst.wave if inst.wave is not None else _DC(0.0))
+        groups.append(Group(model=model, names=[i.name for i in insts],
+                            conn=conn, params=pvals, waves=waves))
+
+    return CompiledCircuit(
+        title=cir.title, n=n, node_names=node_names, names=names,
+        classes=np.asarray(classes, np.int32), groups=groups, spec=spec,
+        param_slots=param_slots, inst_group=inst_group)

@@ -1,0 +1,93 @@
+"""Dense linear solves for MNA systems, TPU-aware.
+
+TPU's XLA backend implements LU decomposition only for f32 (f64 LU does not
+compile, c64 is unimplemented on v5e). Circuit Jacobians span ~15 orders of
+magnitude (gmin 1e-12 .. source rows 1e3), so a raw f32 factorization is not
+accurate enough for SPICE tolerances. We therefore:
+
+  1. equilibrate: scale rows and columns to unit max-norm (exact powers would
+     be ideal; plain scaling is sufficient since the scaling cancels in the
+     refinement residual),
+  2. factorize the equilibrated matrix in f32,
+  3. run iterative refinement in f64 (f64 matmuls are supported, emulated):
+     r = b - A x;  dx = C * lu_solve(R r);  x += dx,
+
+recovering ~f64 solution accuracy for the well-scaled systems Newton produces.
+On CPU we use native f64 LU. Complex systems (AC/noise) are solved via the
+equivalent real 2Nx2N form ([[Ar, -Ai], [Ai, Ar]]), same machinery.
+
+Replaces the reference's SuiteSparse KLU usage (Cadnip `src/mna/solve.jl:612`,
+`src/sweeps.jl:599-601`); a Pallas sparse-LU backend for large circuits plugs
+in behind the same interface later.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..config import DTYPE, LU_DTYPE
+
+
+def _equilibrate(A):
+    """Row/column max-norm scaling. Returns (A_scaled, r, c) with
+    A_scaled = diag(r) @ A @ diag(c)."""
+    tiny = jnp.asarray(1e-300, A.dtype)
+    r = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=1), tiny)
+    As = A * r[:, None]
+    c = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=0), tiny)
+    return As * c[None, :], r, c
+
+
+class DenseLU:
+    """Factorization handle supporting repeated solves (Newton reuses it for
+    iterative refinement; transient reuses across rejected steps)."""
+
+    __slots__ = ("lu", "piv", "r", "c", "A", "method")
+
+    def __init__(self, lu, piv, r, c, A, method):
+        self.lu, self.piv, self.r, self.c, self.A, self.method = (
+            lu, piv, r, c, A, method)
+
+    def solve(self, b, refine: int = 2):
+        if self.method == "lu64":
+            return jsl.lu_solve((self.lu, self.piv), b)
+        # f32 LU + f64 iterative refinement
+        x = self.c * jsl.lu_solve((self.lu, self.piv),
+                                  (self.r * b).astype(LU_DTYPE)).astype(DTYPE)
+        for _ in range(refine):
+            res = b - self.A @ x
+            dx = self.c * jsl.lu_solve((self.lu, self.piv),
+                                       (self.r * res).astype(LU_DTYPE)
+                                       ).astype(DTYPE)
+            x = x + dx
+        return x
+
+
+def factorize(A, method: str) -> DenseLU:
+    if method == "lu64":
+        lu, piv = jsl.lu_factor(A)
+        return DenseLU(lu, piv, None, None, A, method)
+    As, r, c = _equilibrate(A)
+    lu, piv = jsl.lu_factor(As.astype(LU_DTYPE))
+    return DenseLU(lu, piv, r, c, A, method)
+
+
+@partial(jax.jit, static_argnames=("method", "refine"))
+def solve(A, b, method: str = "lu64", refine: int = 2):
+    return factorize(A, method).solve(b, refine=refine)
+
+
+def solve_complex(Ar, Ai, br, bi, method: str = "lu64", refine: int = 2):
+    """Solve (Ar + j Ai) x = (br + j bi) via the real 2Nx2N embedding.
+
+    TPU has no complex LU; this is also what lets AC frequency sweeps batch
+    with vmap over the stacked real system.
+    """
+    n = Ar.shape[0]
+    A = jnp.block([[Ar, -Ai], [Ai, Ar]])
+    b = jnp.concatenate([br, bi])
+    x = solve(A, b, method=method, refine=refine)
+    return x[:n], x[n:]
