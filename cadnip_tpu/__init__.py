@@ -16,13 +16,14 @@ from .mna.devices import (  # noqa: E402
     DIODE, DIODE_RS, MOSFET1, DeviceModel)
 from .mna.waveforms import DC as DCWave, Pulse, Sin, PWL, Exp, Sffm  # noqa: E402
 from .analyses.dc import dc, op_tran, DCSolution  # noqa: E402
+from .analyses.tran import tran, TranSolution  # noqa: E402
 
 __all__ = [
     "Circuit", "CompiledCircuit", "SimSpec", "DeviceModel", "devices",
     "RESISTOR", "CAPACITOR", "INDUCTOR", "VSOURCE", "ISOURCE", "VCVS",
     "VCCS", "CCCS", "CCVS", "DIODE", "DIODE_RS", "MOSFET1",
     "DCWave", "Pulse", "Sin", "PWL", "Exp", "Sffm",
-    "dc", "op_tran", "DCSolution",
+    "dc", "op_tran", "DCSolution", "tran", "TranSolution",
 ]
 
 __version__ = "0.1.0"

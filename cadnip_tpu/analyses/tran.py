@@ -1,0 +1,308 @@
+"""Transient analysis: adaptive trapezoidal integration with LTE control,
+entirely inside `lax.while_loop` — the TPU-native replacement for the
+reference's Sundials IDA path (Cadnip `src/sweeps.jl:588-679`,
+`src/mna/solve.jl:2102-2146`).
+
+Scheme (ngspice-style TRAP):
+  * charge-based formulation: f(x) + dq/dt = 0; each implicit step solves
+    f(x) + c0*q(x) = rhs_q with Newton (warm-started from a linear predictor)
+  * first step and every post-breakpoint restart use backward Euler (order
+    1, damps the discontinuity trap would ring on); steady state uses trap
+  * local truncation error from third divided differences of the state
+    (|LTE| = h^3/2 |DD3| for trap, h^2 |DD2| for BE), normalized by
+    reltol*|x| + per-class abstol and the SPICE trtol=7 factor
+  * waveform breakpoints are hit exactly (reference `expand_breakpoints`,
+    `src/mna/solve.jl:1847-1918`) and reset the method to BE
+  * results are captured on a fixed user grid by linear interpolation, so
+    output memory is static regardless of step count (optionally every
+    accepted step can be stored instead)
+
+Entirely jit-compiled; vmaps over parameter sweeps (every lane steps with its
+own adaptive h; the while_loop runs until all lanes finish).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE, solve_method_for_backend
+from ..mna.assemble import make_assembler, make_rhs_assembler, pad_state
+from ..mna.newton import abstol_vector, make_tran_newton
+from ..mna.spec import MODE_TRAN, MODE_TRANOP
+from ..mna.structure import CompiledCircuit
+from .dc import DCSolution, dc
+
+TRTOL = 7.0          # SPICE LTE slack factor
+GROW_MAX = 2.0
+SHRINK_MIN = 0.2
+NEWTON_FAIL_CUT = 0.125
+
+
+class TranStats(NamedTuple):
+    naccept: jnp.ndarray
+    nreject: jnp.ndarray
+    nnewton: jnp.ndarray
+    fail: jnp.ndarray        # True if the integrator gave up (h < hmin)
+
+
+class TranSolution:
+    """Waveforms on the save grid; name-addressable like DCSolution.
+    sol['out'] -> array over save times; sol.ts -> the grid."""
+
+    def __init__(self, cc, ts, xs, stats: TranStats, op_converged=True):
+        self.cc = cc
+        self.ts = ts
+        self.xs = xs
+        self.stats = stats
+        self.op_converged = op_converged
+
+    def __getitem__(self, name):
+        return self.xs[..., self.cc.index_of(str(name))]
+
+    def v(self, p, n=None):
+        vp = self[p]
+        return vp if n is None else vp - self[n]
+
+    @property
+    def converged(self):
+        return (~self.stats.fail) & self.op_converged
+
+    def __repr__(self):
+        s = self.stats
+        return (f"TranSolution({self.cc.title!r}, {self.ts.shape[-1]} pts, "
+                f"accepted={np.asarray(s.naccept)}, "
+                f"rejected={np.asarray(s.nreject)}, "
+                f"newton={np.asarray(s.nnewton)}, "
+                f"fail={np.asarray(s.fail)})")
+
+
+def collect_breakpoints(cc: CompiledCircuit, tstop: float) -> np.ndarray:
+    """Gather waveform kink times from every source in the circuit."""
+    bps = [np.array([tstop])]
+    for g in cc.groups:
+        if g.waves is None:
+            continue
+        for w in g.waves:
+            bps.append(w.breakpoints(tstop))
+    b = np.unique(np.concatenate(bps))
+    b = b[(b > 0) & (b <= tstop)]
+    if b.size == 0 or b[-1] != tstop:
+        b = np.append(b, tstop)
+    return b
+
+
+def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
+    """Third divided difference over (tc,xc),(t0,x0),(t1,x1),(t2,x2)."""
+    tiny = 1e-300
+    d1a = (xc - x0) / jnp.maximum(tc - t0, tiny)
+    d1b = (x0 - x1) / jnp.maximum(t0 - t1, tiny)
+    d1c = (x1 - x2) / jnp.maximum(t1 - t2, tiny)
+    d2a = (d1a - d1b) / jnp.maximum(tc - t1, tiny)
+    d2b = (d1b - d1c) / jnp.maximum(t0 - t2, tiny)
+    d3 = (d2a - d2b) / jnp.maximum(tc - t2, tiny)
+    return d2a, d3
+
+
+def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
+                     method: str | None = None):
+    """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
+    hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced."""
+    assemble = make_assembler(cc)
+    newton_t = make_tran_newton(cc, assemble=assemble, method=method)
+    atol = abstol_vector(cc)
+    spec = cc.spec
+    n = cc.n
+
+    def run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax, hmin,
+            bp_times, save_ts, diff_mask):
+        n_bp = bp_times.shape[0]
+        xs = jnp.zeros((n_save, n), DTYPE)
+
+        def save_points(si, xs, t_old, x_old, t_new, x_new):
+            # fill every grid point in (t_old, t_new] by linear interpolation
+            def cond(c):
+                si, _ = c
+                return (si < n_save) & (save_ts[jnp.minimum(si, n_save - 1)]
+                                        <= t_new + 1e-30)
+
+            def body(c):
+                si, xs = c
+                ts_i = save_ts[si]
+                w = jnp.where(t_new > t_old, (ts_i - t_old) / (t_new - t_old),
+                              1.0)
+                xi = x_old + w * (x_new - x_old)
+                return si + 1, xs.at[si].set(xi)
+
+            return jax.lax.while_loop(cond, body, (si, xs))
+
+        # state: (t, h, x, lim, q, qdot, hist(x1,t1,x2,t2), ord, bp_i, si,
+        #         xs, naccept, nreject, nnewton, fail, nsteps)
+        si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
+        state = dict(
+            t=t0, h=h0, x=x0, lim=lim0, q=q0, qdot=qdot0,
+            x1=x0, t1=t0 - 1.0, x2=x0, t2=t0 - 2.0,
+            ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
+            naccept=jnp.int32(0), nreject=jnp.int32(0),
+            nnewton=jnp.int32(0), fail=jnp.asarray(False),
+            nsteps=jnp.int32(0))
+
+        def cond(s):
+            return ((s["t"] < tstop * (1.0 - 1e-12)) & (~s["fail"])
+                    & (s["nsteps"] < max_steps) & (s["si"] < n_save))
+
+        def body(s):
+            t, h, x = s["t"], s["h"], s["x"]
+            # clamp the step to the next breakpoint / tstop
+            bp_t = bp_times[jnp.minimum(s["bp_i"], n_bp - 1)]
+            h_eff = jnp.minimum(jnp.minimum(h, hmax), tstop - t)
+            to_bp = bp_t - t
+            h_eff = jnp.where((to_bp > 0) & (to_bp < h_eff * 1.5),
+                              jnp.minimum(h_eff, to_bp), h_eff)
+            h_eff = jnp.maximum(h_eff, hmin)
+            t_new = t + h_eff
+            hit_bp = t_new >= bp_t - 1e-15 * jnp.maximum(bp_t, 1.0)
+
+            # integration coefficients: BE (ord 1) or trap (ord 2)
+            use_be = s["ord"] == 1
+            c0 = jnp.where(use_be, 1.0 / h_eff, 2.0 / h_eff)
+            rhs_q = c0 * s["q"] + jnp.where(use_be, 0.0, 1.0) * s["qdot"]
+
+            # linear predictor for warm start
+            dt1 = jnp.maximum(t - s["t1"], 1e-300)
+            slope = (x - s["x1"]) / dt1
+            x_pred = jnp.where(s["naccept"] >= 1, x + slope * h_eff, x)
+
+            dyn = dyn0._replace(time=t_new,
+                                mode=jnp.asarray(MODE_TRAN, jnp.int32))
+            r = newton_t(x_pred, s["lim"], params, dyn, c0, rhs_q)
+
+            # LTE estimate from divided differences (needs >=2 history pts)
+            d2, d3 = _divided_diff3(r.x, t_new, x, t, s["x1"], s["t1"],
+                                    s["x2"], s["t2"])
+            lte = jnp.where(use_be, h_eff * h_eff * jnp.abs(d2),
+                            0.5 * h_eff ** 3 * jnp.abs(d3))
+            etol = TRTOL * (spec.reltol * jnp.maximum(jnp.abs(r.x),
+                                                      jnp.abs(x)) + atol)
+            # LTE applies to differential variables only (rows with charge
+            # dynamics) — reference detect_differential_vars
+            # (`src/mna/solve.jl:2041`); algebraic vars (branch currents,
+            # resistive nodes) follow instantaneously and must not gate h.
+            enorm = jnp.max(jnp.where(diff_mask, lte / etol, 0.0))
+            have_hist = s["naccept"] >= 2
+            enorm = jnp.where(have_hist, enorm, 0.0)
+
+            accept = r.converged & ((enorm <= 1.0) | (h_eff <= hmin * 1.01))
+            # new step size
+            fac = jnp.where(
+                r.converged,
+                jnp.clip(0.9 * jnp.power(jnp.maximum(enorm, 1e-10),
+                                         -1.0 / 3.0), SHRINK_MIN, GROW_MAX),
+                NEWTON_FAIL_CUT)
+            h_next = jnp.clip(h_eff * fac, hmin, hmax)
+
+            # --- accepted path
+            q_new = r.q
+            qdot_new = c0 * (q_new - s["q"]) - jnp.where(
+                use_be, 0.0, 1.0) * s["qdot"]
+            si_new, xs_new = save_points(s["si"], s["xs"], t, x, t_new, r.x)
+            fail_now = (~accept) & (h_eff <= hmin * 1.01)
+
+            def pick(a, b):
+                return jnp.where(accept, a, b)
+
+            return dict(
+                t=pick(t_new, t), h=h_next,
+                x=pick(r.x, x), lim=pick(r.lim, s["lim"]),
+                q=pick(q_new, s["q"]), qdot=pick(qdot_new, s["qdot"]),
+                x1=pick(x, s["x1"]), t1=pick(t, s["t1"]),
+                x2=pick(s["x1"], s["x2"]), t2=pick(s["t1"], s["t2"]),
+                ord=jnp.where(accept & hit_bp, jnp.int32(1),
+                              jnp.where(accept, jnp.int32(2), s["ord"])),
+                bp_i=jnp.where(accept & hit_bp, s["bp_i"] + 1, s["bp_i"]),
+                si=jnp.where(accept, si_new, s["si"]),
+                xs=jnp.where(accept, xs_new, s["xs"]),
+                naccept=s["naccept"] + accept.astype(jnp.int32),
+                nreject=s["nreject"] + (~accept).astype(jnp.int32),
+                nnewton=s["nnewton"] + r.iters,
+                fail=s["fail"] | fail_now,
+                nsteps=s["nsteps"] + 1)
+
+        out = jax.lax.while_loop(cond, body, state)
+        ran_out = (out["nsteps"] >= max_steps) & (out["t"] < tstop * (1 - 1e-12))
+        stats = TranStats(naccept=out["naccept"], nreject=out["nreject"],
+                          nnewton=out["nnewton"],
+                          fail=out["fail"] | ran_out)
+        return out["xs"], stats
+
+    return run
+
+
+def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
+         n_save: int | None = None, save_ts=None, max_steps: int = 200_000,
+         x0=None, method: str | None = None) -> TranSolution:
+    """Transient analysis over tspan=(t0, tstop).
+
+    dt: suggested output resolution (SPICE .tran tstep); dtmax: max internal
+    step (SPICE tmax). Output is interpolated onto a uniform grid of
+    n_save points (default from dt).
+    """
+    t0, tstop = float(tspan[0]), float(tspan[1])
+    if tstop <= t0:
+        raise ValueError(f"tran needs tstop > t0, got tspan=({t0}, {tstop})")
+    if params is None:
+        params = cc.params0()
+    if dt is None:
+        dt = (tstop - t0) / 1000.0
+    if dtmax is None:
+        dtmax = max((tstop - t0) / 50.0, dt)
+    if save_ts is None:
+        if n_save is None:
+            n_save = int(round((tstop - t0) / dt)) + 1
+        save_ts = np.linspace(t0, tstop, n_save)
+    save_ts = jnp.asarray(save_ts, DTYPE)
+    n_save = int(save_ts.shape[0])
+
+    # operating point at t0 with transient source values
+    op_conv = True
+    if x0 is None:
+        op = dc(cc, params, mode=MODE_TRANOP, time=t0)
+        x0 = op.x
+        op_conv = op.converged
+    x0 = jnp.asarray(x0, DTYPE)
+
+    bp = collect_breakpoints(cc, tstop)
+    bp = bp[bp > t0]
+    key = ("tran_runner", n_save, int(max_steps), len(bp), method)
+    if key not in cc.cache:
+        runner = make_tran_runner(cc, n_save, max_steps, method=method)
+        rhs = make_rhs_assembler(cc)
+        assemble = make_assembler(cc)
+
+        def full(x0, params, dyn0, t0_, tstop_, h0, hmax, hmin, bp_times,
+                 save_ts):
+            xp = pad_state(x0)
+            lim0 = assemble.init_lim(xp)
+            dyn_op = dyn0._replace(time=t0_,
+                                   mode=jnp.asarray(MODE_TRANOP, jnp.int32))
+            f0, q0 = rhs(xp, params, dyn_op)
+            qdot0 = -f0  # consistent initialization: f + dq/dt = 0
+            _, _, _, C0, _ = assemble(xp, lim0, params, dyn_op)
+            diff_mask = jnp.sum(jnp.abs(C0), axis=1) > 0.0
+            return runner(x0, lim0, q0, qdot0, params, dyn0, t0_, tstop_,
+                          h0, hmax, hmin, bp_times, save_ts, diff_mask)
+
+        cc.cache[key] = jax.jit(full)
+
+    dyn0 = cc.spec.dyn(mode=MODE_TRAN, time=t0)
+    hmin = max((tstop - t0) * 1e-12, 1e-21)
+    h0 = min(dt / 10.0, dtmax)
+    xs, stats = cc.cache[key](
+        x0, params, dyn0, jnp.asarray(t0, DTYPE), jnp.asarray(tstop, DTYPE),
+        jnp.asarray(h0, DTYPE), jnp.asarray(dtmax, DTYPE),
+        jnp.asarray(hmin, DTYPE), jnp.asarray(bp, DTYPE), save_ts)
+    return TranSolution(cc, np.asarray(save_ts), xs, stats,
+                        op_converged=op_conv)

@@ -126,6 +126,31 @@ def make_assembler(cc: CompiledCircuit):
     return assemble
 
 
+def make_rhs_assembler(cc: CompiledCircuit):
+    """Residual-only assembly: rhs(x_pad, params, dyn) -> (F, Q), no
+    Jacobians, no limiting. Used for consistent qdot computation
+    (qdot = -f at a converged point) and for vectorized source evaluation in
+    the linear fast path."""
+    n = cc.n
+    np1 = n + 1
+    consts = [(g.model, jnp.asarray(g.conn, jnp.int32)) for g in cc.groups]
+    vnode_idx = jnp.asarray(np.where(cc.classes == CLASS_V)[0], jnp.int32)
+
+    def rhs(x_pad, params, dyn: DynSpec):
+        F = jnp.zeros(np1, DTYPE)
+        Q = jnp.zeros(np1, DTYPE)
+        for (model, conn), p in zip(consts, params):
+            u = x_pad[conn]
+            f, q = jax.vmap(model.residual, in_axes=(0, 0, None))(u, p, dyn)
+            flat = conn.reshape(-1)
+            F = F.at[flat].add(f.reshape(-1))
+            Q = Q.at[flat].add(q.reshape(-1))
+        F = F[:n].at[vnode_idx].add(dyn.gshunt * x_pad[vnode_idx])
+        return F, Q[:n]
+
+    return rhs
+
+
 def make_ac_rhs(cc: CompiledCircuit):
     """Build b_ac(params) -> (br, bi): the small-signal excitation vector from
     sources with nonzero acmag (reference `stamp_b_ac!`, `context.jl:945-1014`

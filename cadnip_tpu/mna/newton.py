@@ -81,6 +81,62 @@ def make_newton(cc: CompiledCircuit, assemble=None, method: str | None = None):
     return newton
 
 
+class TranNewtonResult(NamedTuple):
+    x: jnp.ndarray
+    lim: jnp.ndarray
+    q: jnp.ndarray           # charge vector at the solution
+    f: jnp.ndarray           # resistive residual at the solution
+    converged: jnp.ndarray
+    iters: jnp.ndarray
+
+
+def make_tran_newton(cc: CompiledCircuit, assemble=None,
+                     method: str | None = None):
+    """Newton for one implicit integration step: solves
+        f(x) + c0*q(x) - rhs_q = 0     with Jacobian  G + c0*C.
+    c0 and rhs_q encode the integration method (BE: c0=1/h, rhs=q_n/h;
+    trap: c0=2/h, rhs=c0*q_n + qdot_n). Replaces the reference's
+    fast_residual!/fast_jacobian! pair (`src/mna/precompile.jl:546-618`)."""
+    spec = cc.spec
+    assemble = assemble or make_assembler(cc)
+    method = method or solve_method_for_backend()
+    atol = abstol_vector(cc)
+    is_v = jnp.asarray(cc.classes == CLASS_V)
+    max_iters = spec.max_newton_iters
+
+    def newton_t(x0, lim0, params, dyn: DynSpec, c0, rhs_q
+                 ) -> TranNewtonResult:
+        zq = jnp.zeros(cc.n, DTYPE)
+
+        def cond(c):
+            return (~c[5]) & (c[2] < max_iters)
+
+        def body(c):
+            x, lim, it, _, _, _, _ = c
+            F, Q, G, C, lim_new = assemble(pad_state(x), lim, params, dyn)
+            Ft = F + c0 * Q - rhs_q
+            J = G + c0 * C
+            dx = dense_solve(J, -Ft, method=method)
+            if spec.max_dv > 0:
+                dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv, spec.max_dv),
+                               dx)
+            x_new = x + dx
+            ok = jnp.all(jnp.abs(dx) <= spec.reltol * jnp.maximum(
+                jnp.abs(x_new), jnp.abs(x)) + atol)
+            bad = ~jnp.all(jnp.isfinite(x_new))
+            x_new = jnp.where(bad, x, x_new)
+            lim_new = jnp.where(bad, lim, lim_new)
+            return (x_new, lim_new, it + 1, Q, F, ok & ~bad, bad)
+
+        init = (jnp.asarray(x0, DTYPE), lim0, jnp.int32(0), zq, zq,
+                jnp.asarray(False), jnp.asarray(False))
+        x, lim, it, Q, F, done, _ = jax.lax.while_loop(cond, body, init)
+        return TranNewtonResult(x=x, lim=lim, q=Q, f=F, converged=done,
+                                iters=it)
+
+    return newton_t
+
+
 def make_dc_solver(cc: CompiledCircuit, assemble=None,
                    method: str | None = None):
     """Full DC chain: Newton -> gmin(gshunt) stepping -> source stepping,
