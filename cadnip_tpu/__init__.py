@@ -17,6 +17,12 @@ from .mna.devices import (  # noqa: E402
 from .mna.waveforms import DC as DCWave, Pulse, Sin, PWL, Exp, Sffm  # noqa: E402
 from .analyses.dc import dc, op_tran, DCSolution  # noqa: E402
 from .analyses.tran import tran, TranSolution  # noqa: E402
+from .analyses.ac import ac, acdec, ACSolution  # noqa: E402
+from .analyses.noise import noise, NoiseSolution  # noqa: E402
+from .analyses.sweeps import (  # noqa: E402
+    Sweep, ProductSweep, TandemSweep, SerialSweep, dcsweep, transweep,
+    montecarlo_table)
+from .analyses.sensitivity import dc_sensitivity  # noqa: E402
 
 __all__ = [
     "Circuit", "CompiledCircuit", "SimSpec", "DeviceModel", "devices",
@@ -24,6 +30,9 @@ __all__ = [
     "VCCS", "CCCS", "CCVS", "DIODE", "DIODE_RS", "MOSFET1",
     "DCWave", "Pulse", "Sin", "PWL", "Exp", "Sffm",
     "dc", "op_tran", "DCSolution", "tran", "TranSolution",
+    "ac", "acdec", "ACSolution", "noise", "NoiseSolution",
+    "Sweep", "ProductSweep", "TandemSweep", "SerialSweep",
+    "dcsweep", "transweep", "montecarlo_table", "dc_sensitivity",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,104 @@
+"""AC small-signal analysis.
+
+Linearize at the DC operating point (G = ∂f/∂x, C = ∂q/∂x), then solve
+(G + jωC) x = b_ac per frequency — vmapped over the frequency axis (the
+reference loops frequencies serially, `src/ac.jl:190-220`; on TPU the whole
+sweep is one batched dense solve). TPU has no complex LU, so each solve uses
+the real 2Nx2N embedding from `ops/linalg.py`.
+
+Reference: `src/ac.jl` (ac!, ACSol, magnitude_db/phase_deg, acdec).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE, solve_method_for_backend
+from ..mna.assemble import (make_ac_rhs, make_assembler, pad_state)
+from ..mna.spec import MODE_AC, MODE_DCOP
+from ..mna.structure import CompiledCircuit
+from ..ops.linalg import solve as dense_solve
+from .dc import dc
+
+
+class ACSolution:
+    """Complex phasors per frequency: sol['out'] -> complex [n_freq]."""
+
+    def __init__(self, cc, freqs, x_re, x_im, op, converged=True):
+        self.cc = cc
+        self.freqs = np.asarray(freqs)
+        self.x_re = x_re
+        self.x_im = x_im
+        self.op = op
+        self.converged = converged
+
+    def __getitem__(self, name):
+        i = self.cc.index_of(str(name))
+        return np.asarray(self.x_re[..., i]) + 1j * np.asarray(
+            self.x_im[..., i])
+
+    def v(self, p, n=None):
+        vp = self[p]
+        return vp if n is None else vp - self[n]
+
+    def magnitude_db(self, name):
+        return 20.0 * np.log10(np.maximum(np.abs(self[name]), 1e-300))
+
+    def phase_deg(self, name):
+        return np.angle(self[name], deg=True)
+
+    def __repr__(self):
+        return (f"ACSolution({self.cc.title!r}, {len(self.freqs)} freqs "
+                f"{self.freqs.min():.3g}..{self.freqs.max():.3g} Hz)")
+
+
+def acdec(points_per_decade: int, fstart: float, fstop: float) -> np.ndarray:
+    """SPICE-style logarithmic frequency grid (reference `ac.jl:402-407`)."""
+    ndec = np.log10(fstop / fstart)
+    n = int(np.ceil(points_per_decade * ndec)) + 1
+    return np.logspace(np.log10(fstart), np.log10(fstop), n)
+
+
+def make_ac_sweep(cc: CompiledCircuit, method: str | None = None):
+    """Build ac_sweep(x_op, params, dyn, omegas) -> (x_re, x_im) with shape
+    [n_freq, n]."""
+    assemble = make_assembler(cc)
+    b_ac_fn = make_ac_rhs(cc)
+    method = method or solve_method_for_backend()
+
+    def ac_sweep(x_op, params, dyn, omegas):
+        xp = pad_state(x_op)
+        lim = assemble.init_lim(xp)
+        _, _, G, C, _ = assemble(xp, lim, params, dyn)
+        br, bi = b_ac_fn(params)
+
+        def one(w):
+            return dense_solve(
+                jnp.block([[G, -w * C], [w * C, G]]),
+                jnp.concatenate([br, bi]), method=method)
+
+        xs = jax.vmap(one)(omegas)
+        n = cc.n
+        return xs[:, :n], xs[:, n:]
+
+    return ac_sweep
+
+
+def ac(cc: CompiledCircuit, freqs, params=None, *, op_x=None) -> ACSolution:
+    """AC analysis over the given frequency grid [Hz]."""
+    if params is None:
+        params = cc.params0()
+    freqs = np.atleast_1d(np.asarray(freqs, np.float64))
+    op = None
+    if op_x is None:
+        op = dc(cc, params)
+        op_x = op.x
+    key = ("ac_sweep",)
+    if key not in cc.cache:
+        cc.cache[key] = jax.jit(make_ac_sweep(cc))
+    dyn = cc.spec.dyn(mode=MODE_AC)
+    omegas = jnp.asarray(2.0 * np.pi * freqs, DTYPE)
+    x_re, x_im = cc.cache[key](jnp.asarray(op_x, DTYPE), params, dyn, omegas)
+    return ACSolution(cc, freqs, x_re, x_im, op,
+                      converged=(op.converged if op is not None else True))

@@ -1,0 +1,191 @@
+"""Parameter sweeps and Monte Carlo as vmapped solves.
+
+The reference iterates `alter`ed circuits serially with warm-start
+continuation (`src/sweeps.jl:387-532`); here a sweep is a *batched parameter
+pytree* and the whole DC/transient solve is vmapped over it — one XLA program
+whose batch dimension maps onto TPU vector lanes (and shards over chips via
+`parallel.mesh`). This removes the reference's per-point recompile
+(SURVEY §3.4) entirely.
+
+Sweep composition mirrors the reference API: Sweep (1-D), ProductSweep
+(cartesian), TandemSweep (zip), SerialSweep (concat).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE
+from ..mna.newton import make_dc_solver
+from ..mna.spec import MODE_DCOP, MODE_TRANOP
+from ..mna.structure import CompiledCircuit
+from .dc import DCSolution
+
+
+@dataclasses.dataclass(frozen=True)
+class Sweep:
+    """One swept parameter: Sweep('r1.r', values)."""
+    name: str
+    values: tuple
+
+    def table(self):
+        return {self.name: np.asarray(self.values, np.float64)}
+
+
+def _merge_tables(tables, mode):
+    if mode == "product":
+        names, grids = [], []
+        for t in tables:
+            for k, v in t.items():
+                names.append(k)
+                grids.append(v)
+        mesh = np.meshgrid(*grids, indexing="ij")
+        return {k: m.reshape(-1) for k, m in zip(names, mesh)}
+    if mode == "tandem":
+        out = {}
+        length = None
+        for t in tables:
+            for k, v in t.items():
+                if length is None:
+                    length = len(v)
+                if len(v) != length:
+                    raise ValueError("TandemSweep axes must share length")
+                out[k] = v
+        return out
+    if mode == "serial":
+        keys = set()
+        for t in tables:
+            keys |= set(t)
+        out = {k: [] for k in keys}
+        for t in tables:
+            length = len(next(iter(t.values())))
+            for k in keys:
+                if k in t:
+                    out[k].append(np.asarray(t[k]))
+                else:
+                    out[k].append(np.full(length, np.nan))
+        return {k: np.concatenate(v) for k, v in out.items()}
+    raise ValueError(mode)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProductSweep:
+    sweeps: tuple
+
+    def __init__(self, *sweeps):
+        object.__setattr__(self, "sweeps", tuple(sweeps))
+
+    def table(self):
+        return _merge_tables([s.table() for s in self.sweeps], "product")
+
+
+@dataclasses.dataclass(frozen=True)
+class TandemSweep:
+    sweeps: tuple
+
+    def __init__(self, *sweeps):
+        object.__setattr__(self, "sweeps", tuple(sweeps))
+
+    def table(self):
+        return _merge_tables([s.table() for s in self.sweeps], "tandem")
+
+
+@dataclasses.dataclass(frozen=True)
+class SerialSweep:
+    sweeps: tuple
+
+    def __init__(self, *sweeps):
+        object.__setattr__(self, "sweeps", tuple(sweeps))
+
+    def table(self):
+        return _merge_tables([s.table() for s in self.sweeps], "serial")
+
+
+def batch_params(cc: CompiledCircuit, table: dict, params=None):
+    """Turn {name: values[B]} into (batched params pytree, vmap in_axes).
+
+    NaN entries (from SerialSweep) keep the base value for that point.
+    """
+    if params is None:
+        params = cc.params0()
+    params = [dict(d) for d in params]
+    axes = [{k: None for k in d} for d in params]
+    batch = None
+    for name, vals in table.items():
+        vals = np.asarray(vals, np.float64)
+        if batch is None:
+            batch = len(vals)
+        elif len(vals) != batch:
+            raise ValueError("all sweep axes must have equal length")
+        gi, pn, slot = cc.param_slots[name]
+        arr = params[gi][pn]
+        if arr.ndim == 1:
+            arr = jnp.broadcast_to(arr, (batch,) + arr.shape)
+        base = params[gi][pn][slot] if params[gi][pn].ndim == 1 else \
+            params[gi][pn][0, slot]
+        vals = np.where(np.isnan(vals), float(base), vals)
+        params[gi][pn] = arr.at[:, slot].set(jnp.asarray(vals, DTYPE))
+        if isinstance(axes[gi][pn], type(None)):
+            axes[gi][pn] = 0
+    # wave sub-dicts are never batched
+    for gi, d in enumerate(params):
+        if "wave" in d:
+            axes[gi]["wave"] = {k: None for k in d["wave"]}
+    return params, axes
+
+
+def dcsweep(cc: CompiledCircuit, sweep, params=None, *, mode=MODE_DCOP,
+            x0=None) -> DCSolution:
+    """Vmapped DC sweep: returns a DCSolution whose arrays carry a leading
+    sweep axis. `sweep` is a Sweep/Product/Tandem/SerialSweep or a
+    {name: values} table."""
+    table = sweep.table() if hasattr(sweep, "table") else {
+        k: np.asarray(v) for k, v in sweep.items()}
+    bparams, axes = batch_params(cc, table, params)
+    key = ("dcsweep", tuple(sorted(table)))
+    if key not in cc.cache:
+        solver = make_dc_solver(cc)
+        cc.cache[key] = jax.jit(jax.vmap(solver, in_axes=(None, axes, None)))
+    if x0 is None:
+        x0 = jnp.zeros(cc.n, DTYPE)
+    dyn = cc.spec.dyn(mode=mode)
+    r = cc.cache[key](x0, bparams, dyn)
+    sol = DCSolution(cc, r.x, r.converged, r.iters, r.resnorm)
+    sol.table = table
+    return sol
+
+
+def transweep(cc: CompiledCircuit, sweep, tspan, params=None, **tran_kw):
+    """Vmapped transient sweep (corners / Monte Carlo): every sweep point
+    integrates with its own adaptive steps inside one vmapped while_loop."""
+    from .tran import tran
+
+    table = sweep.table() if hasattr(sweep, "table") else {
+        k: np.asarray(v) for k, v in sweep.items()}
+    bparams, axes = batch_params(cc, table, params)
+    # vmap the full pipeline (op + runner) over the batched params
+    sol = tran(cc, tspan, params=bparams, _vmap_axes=axes, **tran_kw)
+    sol.table = table
+    return sol
+
+
+def montecarlo_table(cc: CompiledCircuit, spreads: dict, n: int,
+                     seed: int = 0) -> dict:
+    """Gaussian Monte-Carlo table: spreads maps 'inst.param' -> (mean, sigma)
+    or sigma (relative to the default value) — the `agauss` analogue."""
+    rng = np.random.default_rng(seed)
+    table = {}
+    p0 = cc.params0()
+    for name, spread in spreads.items():
+        gi, pn, slot = cc.param_slots[name]
+        if isinstance(spread, tuple):
+            mean, sigma = spread
+        else:
+            mean = float(np.asarray(p0[gi][pn])[slot])
+            sigma = spread * abs(mean)
+        table[name] = rng.normal(mean, sigma, n)
+    return table

@@ -243,7 +243,8 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
 
 def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
          n_save: int | None = None, save_ts=None, max_steps: int = 200_000,
-         x0=None, method: str | None = None) -> TranSolution:
+         x0=None, method: str | None = None,
+         _vmap_axes=None) -> TranSolution:
     """Transient analysis over tspan=(t0, tstop).
 
     dt: suggested output resolution (SPICE .tran tstep); dtmax: max internal
@@ -269,14 +270,25 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     # operating point at t0 with transient source values
     op_conv = True
     if x0 is None:
-        op = dc(cc, params, mode=MODE_TRANOP, time=t0)
-        x0 = op.x
-        op_conv = op.converged
+        if _vmap_axes is not None:
+            from ..mna.newton import make_dc_solver
+            okey = ("dcsweep_for_tran", str(_vmap_axes))
+            if okey not in cc.cache:
+                cc.cache[okey] = jax.jit(jax.vmap(
+                    make_dc_solver(cc), in_axes=(None, _vmap_axes, None)))
+            r0 = cc.cache[okey](jnp.zeros(cc.n, DTYPE), params,
+                                cc.spec.dyn(mode=MODE_TRANOP, time=t0))
+            x0, op_conv = r0.x, r0.converged
+        else:
+            op = dc(cc, params, mode=MODE_TRANOP, time=t0)
+            x0 = op.x
+            op_conv = op.converged
     x0 = jnp.asarray(x0, DTYPE)
 
     bp = collect_breakpoints(cc, tstop)
     bp = bp[bp > t0]
-    key = ("tran_runner", n_save, int(max_steps), len(bp), method)
+    key = ("tran_runner", n_save, int(max_steps), len(bp), method,
+           None if _vmap_axes is None else str(_vmap_axes))
     if key not in cc.cache:
         runner = make_tran_runner(cc, n_save, max_steps, method=method)
         rhs = make_rhs_assembler(cc)
@@ -295,6 +307,9 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
             return runner(x0, lim0, q0, qdot0, params, dyn0, t0_, tstop_,
                           h0, hmax, hmin, bp_times, save_ts, diff_mask)
 
+        if _vmap_axes is not None:
+            full = jax.vmap(full, in_axes=(0, _vmap_axes, None, None, None,
+                                           None, None, None, None, None))
         cc.cache[key] = jax.jit(full)
 
     dyn0 = cc.spec.dyn(mode=MODE_TRAN, time=t0)

@@ -1,0 +1,351 @@
+"""SPICE netlist parser: text -> card AST.
+
+Covers the grammar scope of the reference's SPICE dialect front end
+(NyanSpectreNetlistParser SPICE mode + `src/spc/sema.jl`): title line,
+`*`/`$`/`;` comments, `+` continuations, case-insensitive names, SPICE
+magnitudes, elements R C L V I E G F H D M Q X B K, dot cards .param .model
+.subckt/.ends .include .lib/.endl .option(s) .temp .global .if/.elseif/
+.else/.endif .ic .nodeset .end, analysis cards (.op .dc .ac .tran .noise)
+stored for `simulate()`, output cards (.print/.plot/.probe/.save/.meas/.width)
+ignored — matching the reference's sema behavior (`sema.jl:536-545`).
+
+The parser is line-oriented (SPICE is a line language) and error-tolerant in
+the same spirit as the reference's lossless CST: every card remembers its
+source line for error messages.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+from .expressions import parse_expr, parse_number
+
+
+class NetlistError(ValueError):
+    def __init__(self, msg, line_no=None, line=""):
+        self.line_no = line_no
+        super().__init__(
+            f"line {line_no}: {msg}\n    {line}" if line_no else msg)
+
+
+@dataclasses.dataclass
+class Card:
+    kind: str             # 'element' | dot-card name ('param', 'model', ...)
+    line_no: int
+    line: str
+
+
+@dataclasses.dataclass
+class Element(Card):
+    letter: str = ""      # R, C, L, V, ...
+    name: str = ""
+    fields: list = dataclasses.field(default_factory=list)   # positional
+    kwargs: dict = dataclasses.field(default_factory=dict)   # key=value
+
+
+@dataclasses.dataclass
+class DotCard(Card):
+    fields: list = dataclasses.field(default_factory=list)
+    kwargs: dict = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class SubcktDef(Card):
+    name: str = ""
+    ports: list = dataclasses.field(default_factory=list)
+    params: dict = dataclasses.field(default_factory=dict)
+    body: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class LibSection(Card):
+    name: str = ""
+    body: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class IfBlock(Card):
+    # list of (cond_expr_or_None, body_cards); None = else branch
+    branches: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class Netlist:
+    title: str
+    cards: list
+
+
+# ---------------------------------------------------------------------------
+# logical-line assembly
+
+_COMMENT_INLINE = re.compile(r"[;$].*")
+
+
+def logical_lines(text: str):
+    """Yield (line_no, line) with comments stripped and continuations
+    joined. line_no refers to the first physical line."""
+    out = []
+    for ln, raw in enumerate(text.splitlines(), 1):
+        s = raw.rstrip("\n\r")
+        if s.lstrip().startswith("*"):
+            continue
+        s = _COMMENT_INLINE.sub("", s)
+        if not s.strip():
+            continue
+        if s.lstrip().startswith("+"):
+            if not out:
+                raise NetlistError("continuation with no previous line", ln,
+                                   raw)
+            out[-1] = (out[-1][0], out[-1][1] + " " + s.lstrip()[1:])
+        else:
+            out.append((ln, s.strip()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# field splitting: names, numbers, key=value, (...) groups, {expr}, 'expr'
+
+_FIELD_RE = re.compile(
+    r"""\s*(?:
+        (?P<brace>\{[^}]*\})
+      | (?P<quote>'[^']*')
+      | (?P<eq>=)
+      | (?P<paren>\()
+      | (?P<cparen>\))
+      | (?P<comma>,)
+      | (?P<word>[^\s=(),{}']+)
+    )""", re.X)
+
+
+def split_fields(s: str, line_no: int):
+    """Tokenize an element/dot-card line body into a flat field list where
+    parenthesized groups become nested lists and `a = b` pairs are merged to
+    ('kw', key, value)."""
+    toks = []
+    i = 0
+    while i < len(s):
+        m = _FIELD_RE.match(s, i)
+        if not m:
+            if s[i].isspace():
+                i += 1
+                continue
+            raise NetlistError(f"bad character {s[i]!r}", line_no, s)
+        i = m.end()
+        if m.group("brace"):
+            toks.append(("expr", m.group("brace")[1:-1]))
+        elif m.group("quote"):
+            toks.append(("expr", m.group("quote")[1:-1]))
+        elif m.group("eq"):
+            toks.append(("op", "="))
+        elif m.group("paren"):
+            toks.append(("op", "("))
+        elif m.group("cparen"):
+            toks.append(("op", ")"))
+        elif m.group("comma"):
+            continue
+        else:
+            toks.append(("word", m.group("word")))
+
+    # nest parens
+    def nest(pos):
+        items = []
+        while pos < len(toks):
+            t = toks[pos]
+            if t == ("op", "("):
+                sub, pos = nest(pos + 1)
+                items.append(("group", sub))
+            elif t == ("op", ")"):
+                return items, pos + 1
+            else:
+                items.append(t)
+                pos += 1
+        return items, pos
+
+    items, _ = nest(0)
+
+    # merge key = value
+    out = []
+    j = 0
+    while j < len(items):
+        if (j + 1 < len(items) and items[j + 1] == ("op", "=")
+                and items[j][0] == "word"):
+            val = items[j + 2] if j + 2 < len(items) else ("word", "")
+            out.append(("kw", items[j][1].lower(), val))
+            j += 3
+        else:
+            out.append(items[j])
+            j += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser
+
+_ANALYSIS = {"op", "dc", "ac", "tran", "noise", "pz", "tf", "sens", "disto",
+             "four"}
+_IGNORED = {"print", "plot", "probe", "save", "meas", "measure", "width",
+            "backanno", "options_ignored", "control", "endc", "ends_ignored",
+            "data", "enddata"}
+
+
+def parse_netlist(text: str, *, title_line: bool | None = None) -> Netlist:
+    """Parse SPICE text. If title_line is None, auto-detect: the first line
+    is treated as the title unless it parses as a card."""
+    lines = logical_lines(text)
+    title = ""
+    if lines and title_line is not False:
+        first = lines[0][1]
+        w = first.split()[0].lower() if first.split() else ""
+        looks_card = (first.startswith(".")
+                      or (w and w[0] in "rclvieghfdmqxbk" and
+                          len(first.split()) >= 3))
+        if title_line is True or not looks_card:
+            title = first
+            lines = lines[1:]
+
+    cards, _ = _parse_block(lines, 0, None)
+    return Netlist(title=title, cards=cards)
+
+
+def _parse_block(lines, pos, end_token):
+    """Parse until `.end_token` (or EOF). Returns (cards, next_pos)."""
+    cards = []
+    while pos < len(lines):
+        ln, s = lines[pos]
+        low = s.lower()
+        w0 = low.split()[0] if low.split() else ""
+        if s.startswith("."):
+            dot = w0[1:]
+            if end_token is not None and dot == end_token:
+                return cards, pos + 1
+            if dot == "end":
+                return cards, pos + 1
+            if dot == "subckt":
+                card, pos = _parse_subckt(lines, pos)
+                cards.append(card)
+                continue
+            if dot == "lib" and len(s.split()) == 2:
+                # in-file library section: .lib name ... .endl
+                name = s.split()[1]
+                body, pos = _parse_block(lines[:], pos + 1, "endl")
+                cards.append(LibSection("libsection", ln, s, name=name,
+                                        body=body))
+                continue
+            if dot == "if":
+                card, pos = _parse_if(lines, pos)
+                cards.append(card)
+                continue
+            if dot in ("elseif", "else", "endif", "ends", "endl"):
+                # handled by callers; reaching here is a structural error
+                raise NetlistError(f"unexpected .{dot}", ln, s)
+            if dot in _IGNORED or dot == "control":
+                # skip .control ... .endc blocks wholesale
+                if dot == "control":
+                    while pos < len(lines) and not lines[pos][1].lower()\
+                            .startswith(".endc"):
+                        pos += 1
+                    pos += 1
+                    continue
+                pos += 1
+                continue
+            fields = split_fields(s[len(w0):], ln)
+            kwargs = {k: v for t, k, v in
+                      [f for f in fields if f[0] == "kw"]}
+            plain = [f for f in fields if f[0] != "kw"]
+            cards.append(DotCard(dot, ln, s, fields=plain, kwargs=kwargs))
+            pos += 1
+            continue
+        # element line
+        w = s.split(None, 1)
+        name = w[0]
+        letter = name[0].upper()
+        if letter not in "RCLVIEGHFDMQXBKWSTOUJZN":
+            raise NetlistError(f"unknown element letter {letter!r}", ln, s)
+        body = w[1] if len(w) > 1 else ""
+        fields = split_fields(body, ln)
+        kwargs = {}
+        plain = []
+        for f in fields:
+            if f[0] == "kw":
+                kwargs[f[1]] = f[2]
+            else:
+                plain.append(f)
+        cards.append(Element("element", ln, s, letter=letter, name=name,
+                             fields=plain, kwargs=kwargs))
+        pos += 1
+    if end_token is not None and end_token not in ("end",):
+        raise NetlistError(f"missing .{end_token}")
+    return cards, pos
+
+
+def _parse_subckt(lines, pos):
+    ln, s = lines[pos]
+    fields = split_fields(s.split(None, 1)[1], ln)
+    # ports until the first kw or 'params:' marker
+    name = None
+    ports = []
+    params = {}
+    seen_params_kw = False
+    for f in fields:
+        if f[0] == "kw":
+            params[f[1]] = f[2]
+        elif f[0] == "word":
+            wl = f[1].lower()
+            if wl == "params:":
+                seen_params_kw = True
+                continue
+            if name is None:
+                name = f[1]
+            elif not seen_params_kw:
+                ports.append(f[1])
+    if name is None:
+        raise NetlistError("subckt needs a name", ln, s)
+    body, pos = _parse_block(lines, pos + 1, "ends")
+    return SubcktDef("subckt", ln, s, name=name, ports=ports, params=params,
+                     body=body), pos
+
+
+def _parse_if(lines, pos):
+    ln0, s0 = lines[pos]
+    branches = []
+
+    def cond_of(s):
+        body = s.split(None, 1)[1] if len(s.split(None, 1)) > 1 else ""
+        body = body.strip()
+        if body.startswith("(") and body.endswith(")"):
+            body = body[1:-1]
+        elif body.startswith("{") and body.endswith("}"):
+            body = body[1:-1]
+        return parse_expr(body)
+
+    cond = cond_of(s0)
+    body = []
+    pos += 1
+    while pos < len(lines):
+        ln, s = lines[pos]
+        low = s.lower()
+        if low.startswith(".elseif"):
+            branches.append((cond, body))
+            cond = cond_of(s)
+            body = []
+            pos += 1
+        elif low.startswith(".else"):
+            branches.append((cond, body))
+            cond = None
+            body = []
+            pos += 1
+        elif low.startswith(".endif"):
+            branches.append((cond, body))
+            return IfBlock("if", ln0, s0, branches=branches), pos + 1
+        elif low.startswith(".subckt"):
+            card, pos = _parse_subckt(lines, pos)
+            body.append(card)
+        elif low.startswith(".if"):
+            card, pos = _parse_if(lines, pos)
+            body.append(card)
+        else:
+            sub, npos = _parse_block(lines[pos:pos + 1], 0, None)
+            body.extend(sub)
+            pos += 1
+    raise NetlistError("missing .endif", ln0, s0)

@@ -58,8 +58,11 @@ class DeviceModel:
     internals: tuple = ()                 # (name, CLASS_*) extra unknowns
     defaults: dict = dataclasses.field(default_factory=dict)
     limit: Optional[Callable] = None      # (u, u_prev, p, dyn) -> u_eval
-    noise: Optional[Callable] = None      # (u, p, dyn) -> psd coefficient dict
+    noise: Optional[Callable] = None      # (u, p, dyn) -> white PSDs [n_pairs]
     noise_pairs: tuple = ()               # ((p_idx, n_idx), ...) per psd entry
+    # optional 1/f channel: (u, p, dyn) -> (num [n_pairs], exp [n_pairs]);
+    # S_flicker(f) = num / f**exp  (reference flicker_noise registration)
+    flicker: Optional[Callable] = None
     ac_source: bool = False               # contributes to the AC rhs
     # ((local_idx, sign), ...): rows receiving +sign*acmag∠acphase in b_ac
     ac_rhs: tuple = ()
@@ -279,14 +282,20 @@ def _diode_noise(u, p, dyn):
     return jnp.stack([2.0 * QE * jnp.abs(i)])
 
 
+def _diode_flicker(u, p, dyn):
+    i, _ = _diode_ivq(u[0] - u[1], p, dyn)
+    return (jnp.stack([p["kf"] * jnp.power(jnp.abs(i), p["af"])]),
+            jnp.stack([jnp.ones_like(i)]))
+
+
 _DIODE_DEFAULTS = {"is": 1e-14, "n": 1.0, "rs": 0.0, "cjo": 0.0, "vj": 1.0,
                    "m": 0.5, "fc": 0.5, "tt": 0.0, "bv": 0.0, "ibv": 1e-3,
-                   "area": 1.0}
+                   "area": 1.0, "kf": 0.0, "af": 1.0}
 
 DIODE = DeviceModel(
     name="diode", terminals=("p", "n"), residual=_diode_residual,
     defaults=dict(_DIODE_DEFAULTS), limit=_diode_limit,
-    noise=_diode_noise, noise_pairs=((0, 1),))
+    noise=_diode_noise, noise_pairs=((0, 1),), flicker=_diode_flicker)
 
 
 def _diode_rs_residual(u, p, dyn):

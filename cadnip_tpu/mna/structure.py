@@ -153,28 +153,41 @@ class CompiledCircuit:
             out.append(d)
         return out
 
+    @staticmethod
+    def _get_leaf(gparams, pname):
+        """Resolve a (possibly dotted, e.g. 'wave.dc') param path."""
+        if "." in pname:
+            head, tail = pname.split(".", 1)
+            return gparams[head], head, tail
+        return gparams, None, pname
+
     def alter(self, params, **overrides):
         """Functionally update instance parameters: alter(p, **{'r1.r': 2e3}).
         Values may be scalars or arrays (for vmapped sweeps, add a leading
-        batch axis and vmap the solver)."""
+        batch axis and vmap the solver). Source DC values are addressable as
+        'v1.dc' (stored under the packed waveform)."""
         params = [dict(d) for d in params]
         for key, val in overrides.items():
             if key not in self.param_slots:
                 valid = ", ".join(sorted(self.param_slots)[:8])
                 raise KeyError(f"unknown parameter {key!r}; e.g. {valid}")
             gi, pname, slot = self.param_slots[key]
-            arr = params[gi][pname]
+            params[gi] = dict(params[gi])
+            holder = params[gi]
+            if "." in pname:
+                head, pname = pname.split(".", 1)
+                holder[head] = dict(holder[head])
+                holder = holder[head]
+            arr = holder[pname]
             val = jnp.asarray(val, DTYPE)
             if val.ndim == 0:
-                params[gi] = dict(params[gi])
-                params[gi][pname] = arr.at[slot].set(val)
+                holder[pname] = arr.at[..., slot].set(val)
             else:
                 # batched override: broadcast group param to [batch, n_inst]
                 batch = val.shape[0]
                 if arr.ndim == 1:
                     arr = jnp.broadcast_to(arr, (batch,) + arr.shape)
-                params[gi] = dict(params[gi])
-                params[gi][pname] = arr.at[:, slot].set(val)
+                holder[pname] = arr.at[:, slot].set(val)
         return params
 
     def index_of(self, name: str) -> int:
@@ -257,6 +270,9 @@ def elaborate(cir: Circuit, spec: SimSpec) -> CompiledCircuit:
                 pvals[k][si] = float(v)
             for k in model.defaults:
                 param_slots[f"{inst.name}.{k}"] = (gi, k, si)
+            if waves is not None:
+                # expose the DC value of the source waveform for alter/sweep
+                param_slots[f"{inst.name}.dc"] = (gi, "wave.dc", si)
             inst_group[inst.name] = (gi, si)
             if waves is not None:
                 from .waveforms import DC as _DC
