@@ -23,6 +23,8 @@ from .analyses.sweeps import (  # noqa: E402
     Sweep, ProductSweep, TandemSweep, SerialSweep, dcsweep, transweep,
     montecarlo_table)
 from .analyses.sensitivity import dc_sensitivity  # noqa: E402
+from .frontend.elaborate import (  # noqa: E402
+    parse_spice, simulate, circuit_from_file, register_pdk)
 
 __all__ = [
     "Circuit", "CompiledCircuit", "SimSpec", "DeviceModel", "devices",
@@ -33,6 +35,7 @@ __all__ = [
     "ac", "acdec", "ACSolution", "noise", "NoiseSolution",
     "Sweep", "ProductSweep", "TandemSweep", "SerialSweep",
     "dcsweep", "transweep", "montecarlo_table", "dc_sensitivity",
+    "parse_spice", "simulate", "circuit_from_file", "register_pdk",
 ]
 
 __version__ = "0.1.0"

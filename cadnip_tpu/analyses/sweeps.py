@@ -113,7 +113,12 @@ def batch_params(cc: CompiledCircuit, table: dict, params=None):
     if params is None:
         params = cc.params0()
     params = [dict(d) for d in params]
-    axes = [{k: None for k in d} for d in params]
+    axes = []
+    for d in params:
+        a = {}
+        for k, v in d.items():
+            a[k] = {kk: None for kk in v} if isinstance(v, dict) else None
+        axes.append(a)
     batch = None
     for name, vals in table.items():
         vals = np.asarray(vals, np.float64)
@@ -122,19 +127,18 @@ def batch_params(cc: CompiledCircuit, table: dict, params=None):
         elif len(vals) != batch:
             raise ValueError("all sweep axes must have equal length")
         gi, pn, slot = cc.param_slots[name]
-        arr = params[gi][pn]
+        holder, ax_holder = params[gi], axes[gi]
+        if "." in pn:
+            head, pn = pn.split(".", 1)
+            holder[head] = dict(holder[head])
+            holder, ax_holder = holder[head], ax_holder[head]
+        arr = holder[pn]
+        base = float(arr[slot] if arr.ndim == 1 else arr[0, slot])
         if arr.ndim == 1:
             arr = jnp.broadcast_to(arr, (batch,) + arr.shape)
-        base = params[gi][pn][slot] if params[gi][pn].ndim == 1 else \
-            params[gi][pn][0, slot]
-        vals = np.where(np.isnan(vals), float(base), vals)
-        params[gi][pn] = arr.at[:, slot].set(jnp.asarray(vals, DTYPE))
-        if isinstance(axes[gi][pn], type(None)):
-            axes[gi][pn] = 0
-    # wave sub-dicts are never batched
-    for gi, d in enumerate(params):
-        if "wave" in d:
-            axes[gi]["wave"] = {k: None for k in d["wave"]}
+        vals = np.where(np.isnan(vals), base, vals)
+        holder[pn] = arr.at[:, slot].set(jnp.asarray(vals, DTYPE))
+        ax_holder[pn] = 0
     return params, axes
 
 

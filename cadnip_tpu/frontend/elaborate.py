@@ -1,0 +1,914 @@
+"""Netlist elaboration: card AST -> `Circuit` + analysis cards.
+
+Mirrors the reference's sema + codegen semantics (`src/spc/sema.jl`,
+`src/spc/codegen.jl`): parameter dependency toposort, subcircuit expansion
+with lens-outranks-instance-line-outranks-default precedence (here: instance
+line outranks subckt default; expressions see the instantiating scope),
+case-insensitive model/param resolution with most-recent-wins, `.lib`
+section selection, `.include` files, `.if/.else` conditionals evaluated
+against parameters, `.global` nodes, `.option`/`.temp` into the SimSpec.
+
+Hierarchy is flattened host-side with dotted instance/node names
+(`x1.m2`, `x1.net5`) — structure is a Python-time concern; only values are
+traced (SURVEY §7 guiding translation).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Optional
+
+import numpy as np
+
+from ..mna import devices as dv
+from ..mna.spec import SimSpec
+from ..mna.structure import Circuit, GROUND_NAMES
+from ..mna import waveforms as wf
+from .expressions import (ExprError, eval_expr, eval_expr_traced, expr_names,
+                          parse_expr, parse_number)
+from .netlist import (DotCard, Element, IfBlock, LibSection, Netlist,
+                      NetlistError, SubcktDef, parse_netlist)
+
+# registered PDK/model packages for jlpkg://-style includes
+_PDK_PACKAGES: dict[str, str] = {}
+
+
+def register_pdk(name: str, path: str):
+    _PDK_PACKAGES[name.lower()] = path
+
+
+class ElabError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class ModelCard:
+    name: str
+    mtype: str                 # 'd', 'nmos', 'pmos', 'npn', 'pnp', 'r', 'c'
+    params: dict               # lowercase name -> float
+
+
+@dataclasses.dataclass
+class Scope:
+    """Lexical scope: parameters (exprs or values), model cards, subckts."""
+    parent: Optional["Scope"] = None
+    param_exprs: dict = dataclasses.field(default_factory=dict)
+    param_vals: dict = dataclasses.field(default_factory=dict)
+    models: dict = dataclasses.field(default_factory=dict)
+    subckts: dict = dataclasses.field(default_factory=dict)
+
+    def lookup_param(self, name):
+        s = self
+        name = name.lower()
+        while s is not None:
+            if name in s.param_vals:
+                return s.param_vals[name]
+            s = s.parent
+        raise ExprError(f"undefined parameter {name!r}")
+
+    def lookup_model(self, name):
+        s = self
+        name = name.lower()
+        while s is not None:
+            if name in s.models:
+                return s.models[name]
+            s = s.parent
+        return None
+
+    def lookup_subckt(self, name):
+        s = self
+        name = name.lower()
+        while s is not None:
+            if name in s.subckts:
+                return s.subckts[name]
+            s = s.parent
+        return None
+
+
+class _ScopeEnv:
+    """Mapping view for eval_expr with scope-chain lookup."""
+
+    def __init__(self, scope, extra=None):
+        self.scope = scope
+        self.extra = extra or {}
+
+    def __contains__(self, k):
+        if k in self.extra:
+            return True
+        try:
+            self.scope.lookup_param(k)
+            return True
+        except ExprError:
+            return False
+
+    def __getitem__(self, k):
+        if k in self.extra:
+            return self.extra[k]
+        return self.scope.lookup_param(k)
+
+
+@dataclasses.dataclass
+class Analysis:
+    kind: str       # 'op' | 'dc' | 'ac' | 'tran' | 'noise'
+    args: dict
+
+
+class Elaborator:
+    def __init__(self, *, include_dirs=(), section=None, spec=None):
+        self.include_dirs = list(include_dirs)
+        self.section = section          # .lib section selection
+        self.analyses: list[Analysis] = []
+        self.options: dict = {}
+        self.temp: Optional[float] = None
+        self.globals: set = set()
+        self.warned: set = set()
+        self.cir: Optional[Circuit] = None
+        self._mutuals: list = []
+
+    # ------------------------------------------------------------------ utils
+    def _warn_once(self, key, msg):
+        if key not in self.warned:
+            self.warned.add(key)
+            import warnings
+            warnings.warn(msg, stacklevel=3)
+
+    def value_of(self, field, scope, extra=None):
+        """Numeric value of a field token."""
+        kind, val = field[0], field[1]
+        if kind == "word":
+            num = parse_number(val)
+            if num is not None:
+                return num
+            return eval_expr(parse_expr(val), _ScopeEnv(scope, extra))
+        if kind == "expr":
+            return eval_expr(parse_expr(val), _ScopeEnv(scope, extra))
+        if kind == "group" and len(val) == 1:
+            return self.value_of(val[0], scope, extra)
+        raise ElabError(f"expected a value, got {field!r}")
+
+    # ------------------------------------------------ pass 1: scope building
+    def collect(self, cards, scope: Scope):
+        """Collect params/models/subckts/options into scope; return the
+        element+analysis cards in order (with .if resolved lazily later —
+        conditions may reference params, so .if bodies are resolved after
+        param evaluation of the enclosing scope)."""
+        elements = []
+        for card in cards:
+            if isinstance(card, SubcktDef):
+                scope.subckts[card.name.lower()] = card
+            elif isinstance(card, LibSection):
+                if self.section and card.name.lower() == \
+                        str(self.section).lower():
+                    elements.extend(self.collect(card.body, scope))
+            elif isinstance(card, IfBlock):
+                elements.append(card)
+            elif isinstance(card, DotCard):
+                self._dot(card, scope, elements)
+            elif isinstance(card, Element):
+                elements.append(card)
+        return elements
+
+    def _dot(self, card: DotCard, scope: Scope, elements):
+        kind = card.kind
+        if kind == "param":
+            for f in card.fields:
+                pass  # positional junk ignored
+            for k, v in card.kwargs.items():
+                scope.param_exprs[k.lower()] = v
+        elif kind == "model":
+            self._model_card(card, scope)
+        elif kind in ("option", "options"):
+            for k, v in card.kwargs.items():
+                try:
+                    self.options[k] = self.value_of(v, scope)
+                except (ExprError, ElabError):
+                    self.options[k] = v[1]
+            for f in card.fields:
+                if f[0] == "word":
+                    self.options[f[1].lower()] = True
+        elif kind == "temp":
+            self.temp = self.value_of(card.fields[0], scope)
+        elif kind == "global":
+            for f in card.fields:
+                if f[0] == "word":
+                    self.globals.add(f[1])
+        elif kind == "include":
+            self._include(card, scope, elements)
+        elif kind == "lib":
+            self._lib(card, scope, elements)
+        elif kind in ("ic", "nodeset"):
+            self.options.setdefault(kind, {}).update(
+                {k: self.value_of(v, scope) for k, v in card.kwargs.items()})
+        elif kind in ("op", "dc", "ac", "tran", "noise"):
+            self.analyses.append(Analysis(kind, {"fields": card.fields,
+                                                 "kwargs": card.kwargs}))
+        elif kind in ("title",):
+            pass
+        else:
+            self._warn_once(("dot", kind), f".{kind} ignored")
+
+    def _resolve_path(self, path):
+        path = path.strip("\"'")
+        m = re.match(r"jlpkg://([^/]+)/(.*)", path)
+        if m:
+            pkg = m.group(1).lower()
+            if pkg not in _PDK_PACKAGES:
+                raise ElabError(f"unknown PDK package {m.group(1)!r}; "
+                                f"register_pdk() it first")
+            return os.path.join(_PDK_PACKAGES[pkg], m.group(2))
+        if os.path.isabs(path):
+            return path
+        for d in self.include_dirs:
+            cand = os.path.join(d, path)
+            if os.path.exists(cand):
+                return cand
+        return path
+
+    def _include(self, card, scope, elements):
+        path = self._resolve_path(card.fields[0][1])
+        with open(path) as fh:
+            text = fh.read()
+        sub = parse_netlist(text, title_line=False)
+        olddirs = self.include_dirs
+        self.include_dirs = [os.path.dirname(path)] + olddirs
+        try:
+            elements.extend(self.collect(sub.cards, scope))
+        finally:
+            self.include_dirs = olddirs
+
+    def _lib(self, card, scope, elements):
+        # .lib "file" section
+        if len(card.fields) >= 2:
+            path = self._resolve_path(card.fields[0][1])
+            section = card.fields[1][1]
+            with open(path) as fh:
+                text = fh.read()
+            sub = parse_netlist(text, title_line=False)
+            olddirs, oldsec = self.include_dirs, self.section
+            self.include_dirs = [os.path.dirname(path)] + olddirs
+            self.section = section
+            try:
+                elements.extend(self.collect(sub.cards, scope))
+            finally:
+                self.include_dirs, self.section = olddirs, oldsec
+
+    def _model_card(self, card: DotCard, scope: Scope):
+        fields = card.fields
+        if len(fields) < 2:
+            raise ElabError(f"bad .model: {card.line}")
+        name = fields[0][1].lower()
+        mtype = fields[1][1].lower()
+        params = {}
+        rest = fields[2:]
+        # level in parens form: .model m nmos(level=1 ...) -> group
+        for f in rest:
+            if f[0] == "group":
+                for g in f[1]:
+                    if g[0] == "kw":
+                        params[g[1]] = self.value_of(g[2], scope)
+        for k, v in card.kwargs.items():
+            try:
+                params[k] = self.value_of(v, scope)
+            except (ExprError, ElabError):
+                self._warn_once(("mp", name, k),
+                                f".model {name}: cannot evaluate {k}")
+        scope.models[name] = ModelCard(name, mtype, params)
+
+    # --------------------------------------------- pass 2: param evaluation
+    def eval_params(self, scope: Scope):
+        order = []
+        exprs = {k: parse_expr(v[1]) if v[0] in ("word", "expr")
+                 else v for k, v in scope.param_exprs.items()}
+        deps = {}
+        for k, ast in exprs.items():
+            if isinstance(ast, tuple) and ast and ast[0] in (
+                    "num", "name", "bin", "un", "cond", "call"):
+                deps[k] = {d for d in expr_names(ast) if d in exprs}
+            else:
+                deps[k] = set()
+        # Kahn toposort (reference param DiGraph toposort, sema.jl:716-760)
+        pending = dict(deps)
+        while pending:
+            ready = [k for k, d in pending.items() if not d]
+            if not ready:
+                raise ElabError(f"circular .param dependency among "
+                                f"{sorted(pending)}")
+            for k in ready:
+                order.append(k)
+                del pending[k]
+            for d in pending.values():
+                d.difference_update(ready)
+        env = _ScopeEnv(scope)
+        for k in order:
+            scope.param_vals[k] = eval_expr(exprs[k], env)
+
+    # --------------------------------------------- pass 3: instantiation
+    def build(self, elements, scope: Scope, prefix: str, node_map: dict):
+        """Instantiate elements into self.cir. node_map maps local node
+        names to flat names; unmapped locals get prefixed."""
+
+        def flat_node(n):
+            nl = n
+            if nl in GROUND_NAMES:
+                return "0"
+            if nl in node_map:
+                return node_map[nl]
+            if nl in self.globals:
+                return nl
+            return prefix + nl
+
+        for card in elements:
+            if isinstance(card, IfBlock):
+                env = _ScopeEnv(scope)
+                for cond, body in card.branches:
+                    if cond is None or eval_expr(cond, env) != 0:
+                        inner = self.collect(body, scope)
+                        self.eval_params(scope)
+                        self.build(inner, scope, prefix, node_map)
+                        break
+                continue
+            if not isinstance(card, Element):
+                continue
+            try:
+                self._element(card, scope, prefix, flat_node)
+            except (ExprError, ElabError, ValueError) as e:
+                raise ElabError(
+                    f"line {card.line_no}: {e}\n    {card.line}") from None
+
+    # ---- per-element handlers
+    def _element(self, card: Element, scope, prefix, flat_node):
+        L = card.letter
+        name = prefix + card.name
+        f = card.fields
+        kw = card.kwargs
+
+        def words(n):
+            out = []
+            for fld in f:
+                if fld[0] == "word" and len(out) < n:
+                    out.append(fld[1])
+            return out
+
+        if L == "R":
+            n1, n2 = words(2)
+            val = None
+            if "r" in kw:
+                val = self.value_of(kw["r"], scope)
+            elif len(f) >= 3:
+                try:
+                    val = self.value_of(f[2], scope)
+                except (ExprError, ElabError):
+                    val = None
+            if val is None:
+                mc = scope.lookup_model(f[2][1]) if len(f) >= 3 else None
+                if mc is None:
+                    raise ElabError(f"{name}: no resistance value")
+                # semiconductor resistor: r = rsh * l / w
+                l = self.value_of(kw["l"], scope) if "l" in kw else \
+                    mc.params.get("l", 1e-6)
+                w = self.value_of(kw["w"], scope) if "w" in kw else \
+                    mc.params.get("w", mc.params.get("defw", 1e-6))
+                rsh = mc.params.get("rsh", 0.0)
+                narrow = mc.params.get("narrow", 0.0)
+                val = rsh * (l - narrow) / max(w - narrow, 1e-15)
+            self.cir.R(name, flat_node(n1), flat_node(n2), val)
+        elif L == "C":
+            n1, n2 = words(2)
+            val = (self.value_of(kw["c"], scope) if "c" in kw
+                   else self.value_of(f[2], scope))
+            self.cir.C(name, flat_node(n1), flat_node(n2), val)
+        elif L == "L":
+            n1, n2 = words(2)
+            val = (self.value_of(kw["l"], scope) if "l" in kw
+                   else self.value_of(f[2], scope))
+            self.cir.L(name, flat_node(n1), flat_node(n2), val)
+        elif L in "VI":
+            self._source(card, scope, prefix, flat_node)
+        elif L == "E":
+            n1, n2, c1, c2 = words(4)
+            gain = self.value_of(f[4], scope)
+            self.cir.add(dv.VCVS, name, (flat_node(n1), flat_node(n2),
+                                         flat_node(c1), flat_node(c2)),
+                         gain=gain)
+        elif L == "G":
+            n1, n2, c1, c2 = words(4)
+            gm = self.value_of(f[4], scope)
+            self.cir.add(dv.VCCS, name, (flat_node(n1), flat_node(n2),
+                                         flat_node(c1), flat_node(c2)),
+                         gm=gm)
+        elif L == "F":
+            n1, n2, vname = words(3)
+            gain = self.value_of(f[3], scope)
+            self.cir.add(dv.CCCS, name, (flat_node(n1), flat_node(n2)),
+                         sense=prefix + vname, gain=gain)
+        elif L == "H":
+            n1, n2, vname = words(3)
+            r = self.value_of(f[3], scope)
+            self.cir.add(dv.CCVS, name, (flat_node(n1), flat_node(n2)),
+                         sense=prefix + vname, r=r)
+        elif L == "K":
+            l1, l2 = words(2)
+            k = self.value_of(f[2], scope) if len(f) > 2 else \
+                self.value_of(kw["k"], scope)
+            # placeholder M; resolved to k*sqrt(L1*L2) in the post-pass
+            # once both inductor values are known
+            self.cir.add(dv.MUTUAL, name, (), sense=(prefix + l1,
+                                                     prefix + l2),
+                         m=float(k))
+            self._mutuals.append((name, prefix + l1, prefix + l2, float(k)))
+        elif L == "D":
+            n1, n2 = words(2)
+            mc = scope.lookup_model(f[2][1])
+            if mc is None:
+                raise ElabError(f"{name}: unknown diode model {f[2][1]!r}")
+            p = _map_model_params(mc, _DIODE_MAP, self._warn_once)
+            area = self.value_of(f[3], scope) if len(f) > 3 else 1.0
+            if "area" in kw:
+                area = self.value_of(kw["area"], scope)
+            p["area"] = area
+            self.cir.D(name, flat_node(n1), flat_node(n2), **p)
+        elif L == "Q":
+            ws = words(5)
+            # model is 4th or 5th positional (optional substrate)
+            mc = scope.lookup_model(ws[3]) if len(ws) > 3 else None
+            subs_used = False
+            if mc is None and len(ws) > 4:
+                mc = scope.lookup_model(ws[4])
+                subs_used = True
+            if mc is None:
+                raise ElabError(f"{name}: unknown BJT model")
+            c, b, e = ws[0], ws[1], ws[2]
+            p = _map_model_params(mc, _BJT_MAP, self._warn_once)
+            p["type"] = -1.0 if mc.mtype == "pnp" else 1.0
+            if "area" in kw:
+                p["area"] = self.value_of(kw["area"], scope)
+            elif len(ws) > (4 if subs_used else 3) + 1:
+                pass
+            self.cir.add(dv.BJT, name,
+                         (flat_node(c), flat_node(b), flat_node(e)), **p)
+        elif L == "M":
+            ws = words(5)
+            d, g, s, b, mname = ws[0], ws[1], ws[2], ws[3], ws[4]
+            mc = scope.lookup_model(mname)
+            if mc is None:
+                raise ElabError(f"{name}: unknown MOS model {mname!r}")
+            p = _map_model_params(mc, _MOS_MAP, self._warn_once)
+            p["type"] = -1.0 if mc.mtype == "pmos" else 1.0
+            p["w"] = (self.value_of(kw["w"], scope) if "w" in kw
+                      else self.options.get("defw", 100e-6))
+            p["l"] = (self.value_of(kw["l"], scope) if "l" in kw
+                      else self.options.get("defl", 100e-6))
+            self.cir.add(dv.MOSFET1, name,
+                         (flat_node(d), flat_node(g), flat_node(s),
+                          flat_node(b)), **p)
+        elif L == "X":
+            self._subckt_call(card, scope, prefix, flat_node)
+        elif L == "B":
+            self._bsource(card, scope, prefix, flat_node)
+        else:
+            raise ElabError(f"element type {L!r} not supported yet")
+
+    def _source(self, card: Element, scope, prefix, flat_node):
+        name = prefix + card.name
+        f = list(card.fields)
+        kw = card.kwargs
+        nodes = []
+        i = 0
+        while i < len(f) and len(nodes) < 2:
+            if f[i][0] == "word" and parse_number(f[i][1]) is None:
+                nodes.append(f[i][1])
+                i += 1
+            elif f[i][0] == "word" and len(nodes) < 2:
+                nodes.append(f[i][1])
+                i += 1
+            else:
+                break
+        if len(nodes) < 2:
+            raise ElabError(f"{name}: needs two nodes")
+        dc_val = 0.0
+        acmag, acphase = 0.0, 0.0
+        wave = None
+        rest = f[i:]
+        j = 0
+
+        def val_at(k):
+            return self.value_of(rest[k], scope)
+
+        while j < len(rest):
+            fld = rest[j]
+            if fld[0] == "word" and parse_number(fld[1]) is None:
+                w = fld[1].lower()
+                if w == "dc":
+                    dc_val = val_at(j + 1)
+                    j += 2
+                elif w == "ac":
+                    acmag = val_at(j + 1) if j + 1 < len(rest) else 1.0
+                    j += 2
+                    if j < len(rest) and rest[j][0] == "word" and \
+                            parse_number(rest[j][1]) is not None:
+                        acphase = val_at(j)
+                        j += 1
+                elif w in ("pulse", "sin", "sine", "pwl", "exp", "sffm"):
+                    args = []
+                    j += 1
+                    if j < len(rest) and rest[j][0] == "group":
+                        args = [self.value_of(x, scope)
+                                for x in rest[j][1]]
+                        j += 1
+                    else:
+                        while j < len(rest) and (
+                                rest[j][0] in ("expr", "group")
+                                or parse_number(rest[j][1]) is not None):
+                            args.append(self.value_of(rest[j], scope))
+                            j += 1
+                    wave = _make_wave(w, args)
+                else:
+                    raise ElabError(f"{name}: unknown token {fld[1]!r}")
+            elif fld[0] == "group":
+                # PULSE(...) parsed as word+group handled above; a bare
+                # group right after nodes is a PWL-style list
+                j += 1
+            else:
+                dc_val = val_at(j)
+                j += 1
+        if "dc" in kw:
+            dc_val = self.value_of(kw["dc"], scope)
+        if "ac" in kw:
+            acmag = self.value_of(kw["ac"], scope)
+        for k in ("pulse", "sin", "pwl", "exp", "sffm"):
+            if k in kw and kw[k][0] == "group":
+                wave = _make_wave(k, [self.value_of(x, scope)
+                                      for x in kw[k][1]])
+        if wave is None:
+            wave = wf.DC(dc_val)
+        elif dc_val and wave.dc != dc_val:
+            wave = dataclasses.replace(wave, dc=dc_val)
+        adder = self.cir.V if card.letter == "V" else self.cir.I
+        adder(name, flat_node(nodes[0]), flat_node(nodes[1]), wave=wave,
+              acmag=acmag, acphase=acphase)
+
+    def _subckt_call(self, card: Element, scope, prefix, flat_node):
+        words = [fld[1] for fld in card.fields if fld[0] == "word"]
+        if not words:
+            raise ElabError("X line needs nodes + subckt name")
+        subname = words[-1]
+        nodes = words[:-1]
+        sub = scope.lookup_subckt(subname)
+        if sub is None:
+            raise ElabError(f"unknown subcircuit {subname!r}")
+        if len(nodes) != len(sub.ports):
+            raise ElabError(f"{card.name}: subckt {subname} has "
+                            f"{len(sub.ports)} ports, got {len(nodes)}")
+        child = Scope(parent=scope)
+        # defaults from the definition, overridden by the instance line
+        for k, v in sub.params.items():
+            child.param_exprs[k.lower()] = v
+        inner = self.collect(sub.body, child)
+        # instance-line overrides are evaluated in the CALLING scope
+        for k, v in card.kwargs.items():
+            child.param_exprs[k.lower()] = ("num_eval",
+                                            self.value_of(v, scope))
+        # pre-evaluated overrides
+        for k, v in list(child.param_exprs.items()):
+            if isinstance(v, tuple) and v[0] == "num_eval":
+                child.param_vals[k] = v[1]
+                del child.param_exprs[k]
+        self.eval_params(child)
+        new_prefix = prefix + card.name + "."
+        node_map = {p: flat_node(n) for p, n in zip(sub.ports, nodes)}
+        self.build(inner, child, new_prefix, node_map)
+
+    def _bsource(self, card: Element, scope, prefix, flat_node):
+        name = prefix + card.name
+        words = [fld[1] for fld in card.fields if fld[0] == "word"]
+        n1, n2 = words[0], words[1]
+        is_v = "v" in card.kwargs
+        expr_f = card.kwargs.get("v") or card.kwargs.get("i")
+        if expr_f is None:
+            raise ElabError(f"{name}: B source needs V= or I=")
+        ast = parse_expr(expr_f[1])
+        model, nodes, sense = _make_bsource_model(
+            name, ast, is_v, scope, flat_node, (flat_node(n1),
+                                                flat_node(n2)), prefix)
+        self.cir.add(model, name, nodes, sense=sense)
+
+
+# ---------------------------------------------------------------------------
+# model parameter maps (SPICE card name -> our DeviceModel param)
+
+_DIODE_MAP = {
+    "is": "is", "js": "is", "n": "n", "rs": "rs", "cjo": "cjo", "cj0": "cjo",
+    "vj": "vj", "pb": "vj", "m": "m", "mj": "m", "tt": "tt", "bv": "bv",
+    "ibv": "ibv", "fc": "fc", "kf": "kf", "af": "af",
+}
+_BJT_MAP = {
+    "is": "is", "bf": "bf", "br": "br", "nf": "nf", "nr": "nr", "vaf": "vaf",
+    "va": "vaf", "var": "var", "cje": "cje", "vje": "vje", "mje": "mje",
+    "cjc": "cjc", "vjc": "vjc", "mjc": "mjc", "tf": "tf", "tr": "tr",
+    "fc": "fc",
+}
+_MOS_MAP = {
+    "vto": "vth", "vth0": "vth", "kp": "kp", "lambda": "lambda",
+    "cgso": "cgs", "cgdo": "cgd", "cgbo": "cgb",
+}
+
+
+def _map_model_params(mc: ModelCard, table: dict, warn_once):
+    out = {}
+    for k, v in mc.params.items():
+        if k == "level":
+            if v not in (1, 1.0):
+                warn_once(("level", mc.name),
+                          f".model {mc.name}: level {v} mapped to builtin "
+                          f"level-1 behavior (native VA models land later)")
+            continue
+        if k in table:
+            out[table[k]] = v
+        else:
+            warn_once(("mp", mc.name, k),
+                      f".model {mc.name}: parameter {k!r} ignored")
+    return out
+
+
+def _make_wave(kind: str, args):
+    if kind == "pulse":
+        return wf.Pulse(*args[:7])
+    if kind in ("sin", "sine"):
+        return wf.Sin(*args[:6])
+    if kind == "pwl":
+        return wf.PWL(args)
+    if kind == "exp":
+        return wf.Exp(*args[:6])
+    if kind == "sffm":
+        return wf.Sffm(*args[:5])
+    raise ElabError(kind)
+
+
+# ---------------------------------------------------------------------------
+# behavioral sources
+
+def _behavioral_refs(ast):
+    """Collect v(...)/i(...) references and free parameter names."""
+    vrefs, irefs, names = [], [], set()
+
+    def walk(e):
+        if e[0] == "call":
+            fn = e[1]
+            if fn == "v":
+                args = tuple(a[1] for a in e[2])
+                if args not in vrefs:
+                    vrefs.append(args)
+                return
+            if fn == "i":
+                args = e[2][0][1]
+                if args not in irefs:
+                    irefs.append(args)
+                return
+            for a in e[2]:
+                walk(a)
+        elif e[0] == "name":
+            names.add(e[1].lower())
+        elif e[0] == "bin":
+            walk(e[2])
+            walk(e[3])
+        elif e[0] == "un":
+            walk(e[2])
+        elif e[0] == "cond":
+            for x in e[1:]:
+                walk(x)
+
+    walk(ast)
+    return vrefs, irefs, names
+
+
+def _make_bsource_model(name, ast, is_v, scope, flat_node, out_nodes,
+                        prefix):
+    """Create a one-off DeviceModel for a behavioral source.
+
+    Local layout: [p, n, ctrl_nodes..., (i_branch if V-source),
+    sensed currents...]."""
+    vrefs, irefs, pnames = _behavioral_refs(ast)
+    ctrl_nodes = []
+    for ref in vrefs:
+        for nd in ref:
+            fn = flat_node(nd)
+            if fn not in ctrl_nodes:
+                ctrl_nodes.append(fn)
+    env = _ScopeEnv(scope)
+    const_scope = {}
+    for pn in pnames:
+        if pn in ("time",):
+            continue
+        const_scope[pn] = env[pn]
+
+    # local layout matches structure.py: terminals (p, n, ctrl..., isense...)
+    # then internals (the branch current for a V-type source)
+    n_ctrl = len(ctrl_nodes)
+    ctrl_pos = {nd: 2 + k for k, nd in enumerate(ctrl_nodes)}
+    sense_base = 2 + n_ctrl
+    i_pos = sense_base + len(irefs) if is_v else None
+    n_local = sense_base + len(irefs) + (1 if is_v else 0)
+
+    def node_val(u, nd):
+        fn = flat_node(nd)
+        if fn in GROUND_NAMES:
+            return 0.0
+        if fn == out_nodes[0]:
+            return u[0]
+        if fn == out_nodes[1]:
+            return u[1]
+        return u[ctrl_pos[fn]]
+
+    def residual(u, p, dyn):
+        import jax.numpy as jnp
+
+        def vref_val(ref):
+            va = node_val(u, ref[0])
+            if len(ref) > 1:
+                va = va - node_val(u, ref[1])
+            return va
+
+        vcache = {ref: vref_val(ref) for ref in vrefs}
+        icache = {nm: u[sense_base + k] for k, nm in enumerate(irefs)}
+
+        scope_t = dict(const_scope)
+        scope_t["time"] = dyn.time
+
+        # substitute v()/i() calls by their numeric values, then evaluate
+        def subst(e):
+            if e[0] == "call" and e[1] == "v":
+                return ("num", vcache[tuple(a[1] for a in e[2])])
+            if e[0] == "call" and e[1] == "i":
+                return ("num", icache[e[2][0][1]])
+            if e[0] == "call":
+                return ("call", e[1], [subst(a) for a in e[2]])
+            if e[0] == "bin":
+                return ("bin", e[1], subst(e[2]), subst(e[3]))
+            if e[0] == "un":
+                return ("un", e[1], subst(e[2]))
+            if e[0] == "cond":
+                return ("cond", subst(e[1]), subst(e[2]), subst(e[3]))
+            return e
+
+        val = eval_expr_traced(subst(ast), scope_t)
+        z = jnp.zeros(n_local) * u[0]
+        if is_v:
+            ib = u[i_pos]
+            f = z.at[0].add(ib).at[1].add(-ib).at[i_pos].set(
+                u[0] - u[1] - val)
+        else:
+            f = z.at[0].add(val).at[1].add(-val)
+        return f, jnp.zeros_like(f) * u[0]
+
+    terminals = tuple(["p", "n"] + [f"c{k}" for k in range(n_ctrl)]
+                      + [f"isense{k}" for k in range(len(irefs))])
+    internals = (("i", dv.CLASS_I),) if is_v else ()
+    model = dv.DeviceModel(
+        name=f"bsource:{name}", terminals=terminals, residual=residual,
+        internals=internals, defaults={})
+    nodes = tuple(out_nodes) + tuple(ctrl_nodes)
+    sense = tuple(prefix + nm for nm in irefs)
+    return model, nodes, sense
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+
+def elaborate_netlist(source, *, include_dirs=(), section=None,
+                      spec: SimSpec | None = None, title=None):
+    """SPICE text (or a parsed Netlist) -> (Circuit, Elaborator).
+
+    The Elaborator carries the parsed analysis cards, .options and .temp.
+    """
+    nl = source if isinstance(source, Netlist) else parse_netlist(source)
+    el = Elaborator(include_dirs=include_dirs, section=section)
+    root = Scope()
+    elements = el.collect(nl.cards, root)
+    el.eval_params(root)
+    el.cir = Circuit(title or nl.title or "netlist")
+    el.build(elements, root, "", {})
+    # resolve mutual inductances now that both L values are known
+    if el._mutuals:
+        lvals = {i.name: i.params.get("l", i.model.defaults.get("l"))
+                 for i in el.cir.instances if i.model is dv.INDUCTOR}
+        for i in el.cir.instances:
+            if i.model is dv.MUTUAL:
+                for (nm, l1, l2, k) in el._mutuals:
+                    if nm == i.name:
+                        if l1 not in lvals or l2 not in lvals:
+                            raise ElabError(
+                                f"{nm}: couples unknown inductors "
+                                f"{l1!r}/{l2!r}")
+                        i.params["m"] = k * float(
+                            np.sqrt(lvals[l1] * lvals[l2]))
+    return el.cir, el
+
+
+def spice_spec(el: Elaborator, base: SimSpec | None = None) -> SimSpec:
+    """Fold .option/.temp into a SimSpec (reference `MNASpec` fed from
+    sema options, `codegen.jl:2938-2942`)."""
+    kw = {}
+    base = base or SimSpec()
+    opts = el.options
+    for src, dst in (("reltol", "reltol"), ("abstol", "abstol"),
+                     ("vntol", "vntol"), ("chgtol", "chgtol"),
+                     ("gmin", "gmin"), ("gshunt", "gshunt"),
+                     ("itl1", "max_newton_iters")):
+        if src in opts and isinstance(opts[src], (int, float)):
+            kw[dst] = type(getattr(base, dst))(opts[src])
+    if el.temp is not None:
+        kw["temp_c"] = float(el.temp)
+    return dataclasses.replace(base, **kw)
+
+
+def parse_spice(source, *, include_dirs=(), section=None,
+                spec: SimSpec | None = None, compile=True):
+    """SPICE netlist text -> CompiledCircuit (or Circuit if compile=False).
+
+    The `sp\"...\"` analogue (reference `src/spc/interface.jl:181-215`)."""
+    cir, el = elaborate_netlist(source, include_dirs=include_dirs,
+                                section=section)
+    if not compile:
+        return cir
+    return cir.compile(spice_spec(el, spec))
+
+
+def circuit_from_file(path, *, section=None, spec=None, compile=True):
+    with open(path) as fh:
+        text = fh.read()
+    return parse_spice(text, include_dirs=[os.path.dirname(
+        os.path.abspath(path))], section=section, spec=spec, compile=compile)
+
+
+def simulate(source, *, include_dirs=(), section=None,
+             spec: SimSpec | None = None):
+    """Parse a netlist and run its analysis cards (.op/.dc/.tran/.ac/.noise).
+
+    Returns {analysis_kind: solution} (last card of each kind wins the key;
+    all results listed under 'all')."""
+    from ..analyses.ac import ac as ac_run, acdec
+    from ..analyses.dc import dc as dc_run
+    from ..analyses.noise import noise as noise_run
+    from ..analyses.sweeps import dcsweep
+    from ..analyses.tran import tran as tran_run
+
+    cir, el = elaborate_netlist(source, include_dirs=include_dirs,
+                                section=section)
+    cc = cir.compile(spice_spec(el, spec))
+    results = {"all": [], "circuit": cc}
+    for an in el.analyses:
+        fields = an.args["fields"]
+        vals = []
+        words = []
+        for fld in fields:
+            num = parse_number(fld[1]) if fld[0] == "word" else None
+            if num is not None or fld[0] == "expr":
+                vals.append(num if num is not None
+                            else float(fld[1]))
+            elif fld[0] == "word":
+                words.append(fld[1])
+        if an.kind == "op":
+            sol = dc_run(cc)
+        elif an.kind == "tran":
+            # .tran tstep tstop [tstart [tmax]]
+            tstep = vals[0]
+            tstop = vals[1]
+            tstart = vals[2] if len(vals) > 2 else 0.0
+            tmax = vals[3] if len(vals) > 3 else None
+            sol = tran_run(cc, (tstart, tstop), dt=tstep, dtmax=tmax)
+        elif an.kind == "ac":
+            mode = words[0].lower() if words else "dec"
+            npts = int(vals[0])
+            fstart, fstop = vals[1], vals[2]
+            if mode == "dec":
+                freqs = acdec(npts, fstart, fstop)
+            elif mode == "lin":
+                freqs = np.linspace(fstart, fstop, npts)
+            else:
+                freqs = np.geomspace(fstart, fstop, npts)
+            sol = ac_run(cc, freqs)
+        elif an.kind == "dc":
+            # .dc srcname start stop step
+            src = words[0]
+            start, stop, step = vals[0], vals[1], vals[2]
+            pts = np.arange(start, stop + step * 0.5, step)
+            sol = dcsweep(cc, {f"{src}.dc": pts})
+        elif an.kind == "noise":
+            # .noise v(out[,ref]) src dec npts fstart fstop
+            out = None
+            for fld in fields:
+                if fld[0] == "group":
+                    inner = [g[1] for g in fld[1] if g[0] == "word"]
+                    out = tuple(inner) if len(inner) > 1 else inner[0]
+            vwords = [w for w in words if w.lower() not in
+                      ("dec", "lin", "oct", "v")]
+            srcname = vwords[0] if vwords else None
+            npts = int(vals[0])
+            freqs = acdec(npts, vals[1], vals[2])
+            sol = noise_run(cc, out, freqs, input=srcname)
+        else:
+            continue
+        results[an.kind] = sol
+        results["all"].append((an.kind, sol))
+    return results

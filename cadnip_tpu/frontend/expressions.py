@@ -290,6 +290,79 @@ def eval_expr(ast, scope, funcs=None):
     return ev(ast)
 
 
+def eval_expr_traced(ast, scope, funcs=None):
+    """Evaluate an AST with jnp semantics (traceable: ternary -> jnp.where,
+    comparisons -> float masks). Used for behavioral B-sources where node
+    voltages/currents are tracers (reference B-source expression
+    transformation, `src/spc/codegen.jl:1226-1494`)."""
+    import jax.numpy as jnp
+
+    F1 = {"sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "asin": jnp.arcsin,
+          "acos": jnp.arccos, "atan": jnp.arctan, "sinh": jnp.sinh,
+          "cosh": jnp.cosh, "tanh": jnp.tanh, "exp": jnp.exp, "ln": jnp.log,
+          "log": jnp.log, "log10": jnp.log10, "sqrt": jnp.sqrt,
+          "abs": jnp.abs, "int": jnp.trunc, "nint": jnp.round,
+          "floor": jnp.floor, "ceil": jnp.ceil, "sgn": jnp.sign,
+          "u": lambda x: jnp.where(x > 0, 1.0, 0.0),
+          "uramp": lambda x: jnp.maximum(x, 0.0)}
+    F2 = {"pow": jnp.power,
+          "pwr": lambda a, b: jnp.power(jnp.abs(a), b) * jnp.sign(a),
+          "min": jnp.minimum, "max": jnp.maximum, "atan2": jnp.arctan2,
+          "hypot": jnp.hypot, "mod": jnp.fmod}
+    F3 = {"limit": lambda x, lo, hi: jnp.clip(x, lo, hi)}
+
+    def ev(e):
+        tag = e[0]
+        if tag == "num":
+            return e[1]
+        if tag == "name":
+            key = e[1].lower()
+            if key in scope:
+                return scope[key]
+            raise ExprError(f"undefined parameter {e[1]!r}")
+        if tag == "un":
+            a = ev(e[2])
+            if e[1] == "-":
+                return -a
+            if e[1] == "+":
+                return a
+            return jnp.where(a == 0, 1.0, 0.0)
+        if tag == "bin":
+            op = e[1]
+            a, b = ev(e[2]), ev(e[3])
+            table = {
+                "+": lambda: a + b, "-": lambda: a - b,
+                "*": lambda: a * b, "/": lambda: a / b,
+                "**": lambda: jnp.power(a, b),
+                "<": lambda: jnp.where(a < b, 1.0, 0.0),
+                ">": lambda: jnp.where(a > b, 1.0, 0.0),
+                "<=": lambda: jnp.where(a <= b, 1.0, 0.0),
+                ">=": lambda: jnp.where(a >= b, 1.0, 0.0),
+                "==": lambda: jnp.where(a == b, 1.0, 0.0),
+                "!=": lambda: jnp.where(a != b, 1.0, 0.0),
+                "&&": lambda: jnp.where((a != 0) & (b != 0), 1.0, 0.0),
+                "||": lambda: jnp.where((a != 0) | (b != 0), 1.0, 0.0),
+            }
+            return table[op]()
+        if tag == "cond":
+            return jnp.where(ev(e[1]) != 0, ev(e[2]), ev(e[3]))
+        if tag == "call":
+            fname = e[1]
+            args = [ev(a) for a in e[2]]
+            if funcs and fname in funcs:
+                return funcs[fname](*args)
+            if fname in F1 and len(args) == 1:
+                return F1[fname](args[0])
+            if fname in F2 and len(args) == 2:
+                return F2[fname](*args)
+            if fname in F3 and len(args) == 3:
+                return F3[fname](*args)
+            raise ExprError(f"unknown function {fname!r}/{len(args)}")
+        raise ExprError(f"bad AST node {e!r}")
+
+    return ev(ast)
+
+
 def expr_names(ast):
     """Free names referenced by an expression (for dependency toposort)."""
     out = set()

@@ -192,15 +192,13 @@ _IGNORED = {"print", "plot", "probe", "save", "meas", "measure", "width",
 def parse_netlist(text: str, *, title_line: bool | None = None) -> Netlist:
     """Parse SPICE text. If title_line is None, auto-detect: the first line
     is treated as the title unless it parses as a card."""
+    # SPICE convention: the first (non-comment) line is the title — always,
+    # unless it is a dot card (lenient, like the reference's implicit_title)
     lines = logical_lines(text)
     title = ""
     if lines and title_line is not False:
         first = lines[0][1]
-        w = first.split()[0].lower() if first.split() else ""
-        looks_card = (first.startswith(".")
-                      or (w and w[0] in "rclvieghfdmqxbk" and
-                          len(first.split()) >= 3))
-        if title_line is True or not looks_card:
+        if title_line is True or not first.startswith("."):
             title = first
             lines = lines[1:]
 

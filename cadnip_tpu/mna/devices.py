@@ -66,6 +66,9 @@ class DeviceModel:
     ac_source: bool = False               # contributes to the AC rhs
     # ((local_idx, sign), ...): rows receiving +sign*acmag∠acphase in b_ac
     ac_rhs: tuple = ()
+    # residual is affine in u (f = A u - b(t), q = C u): enables the
+    # fixed-step linear transient fast path (tran_linear)
+    linear: bool = False
     # collapse internal node to terminal when a param is zero, etc. (future)
 
     @property
@@ -114,7 +117,7 @@ def _resistor_noise(u, p, dyn):
 
 RESISTOR = DeviceModel(
     name="resistor", terminals=("p", "n"), residual=_resistor_residual,
-    defaults={"r": 1e3}, noise=_resistor_noise, noise_pairs=((0, 1),))
+    defaults={"r": 1e3}, noise=_resistor_noise, noise_pairs=((0, 1),), linear=True)
 
 
 def _capacitor_residual(u, p, dyn):
@@ -124,7 +127,7 @@ def _capacitor_residual(u, p, dyn):
 
 CAPACITOR = DeviceModel(
     name="capacitor", terminals=("p", "n"), residual=_capacitor_residual,
-    defaults={"c": 1e-12})
+    defaults={"c": 1e-12}, linear=True)
 
 
 def _inductor_residual(u, p, dyn):
@@ -137,7 +140,18 @@ def _inductor_residual(u, p, dyn):
 
 INDUCTOR = DeviceModel(
     name="inductor", terminals=("p", "n"), residual=_inductor_residual,
-    internals=(("i", CLASS_I),), defaults={"l": 1e-9})
+    internals=(("i", CLASS_I),), defaults={"l": 1e-9}, linear=True)
+
+
+def _mutual_residual(u, p, dyn):
+    # u = [i1, i2]: adds -M*i_other to each inductor's branch (flux) row
+    m = p["m"]
+    return _z(u), jnp.stack([-m * u[1], -m * u[0]])
+
+
+MUTUAL = DeviceModel(
+    name="mutual", terminals=("isense1", "isense2"),
+    residual=_mutual_residual, defaults={"m": 0.0}, linear=True)
 
 
 # ---------------------------------------------------------------------------
@@ -153,7 +167,7 @@ VSOURCE = DeviceModel(
     name="vsource", terminals=("p", "n"), residual=_vsource_residual,
     internals=(("i", CLASS_I),),
     defaults={"acmag": 0.0, "acphase": 0.0}, ac_source=True,
-    ac_rhs=((2, 1.0),))
+    ac_rhs=((2, 1.0),), linear=True)
 
 
 def _isource_residual(u, p, dyn):
@@ -164,7 +178,7 @@ def _isource_residual(u, p, dyn):
 ISOURCE = DeviceModel(
     name="isource", terminals=("p", "n"), residual=_isource_residual,
     defaults={"acmag": 0.0, "acphase": 0.0}, ac_source=True,
-    ac_rhs=((0, -1.0), (1, 1.0)))
+    ac_rhs=((0, -1.0), (1, 1.0)), linear=True)
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +194,7 @@ def _vcvs_residual(u, p, dyn):
 
 VCVS = DeviceModel(
     name="vcvs", terminals=("p", "n", "cp", "cn"), residual=_vcvs_residual,
-    internals=(("i", CLASS_I),), defaults={"gain": 1.0})
+    internals=(("i", CLASS_I),), defaults={"gain": 1.0}, linear=True)
 
 
 def _vccs_residual(u, p, dyn):
@@ -191,7 +205,7 @@ def _vccs_residual(u, p, dyn):
 
 VCCS = DeviceModel(
     name="vccs", terminals=("p", "n", "cp", "cn"), residual=_vccs_residual,
-    defaults={"gm": 1.0})
+    defaults={"gm": 1.0}, linear=True)
 
 
 def _cccs_residual(u, p, dyn):
@@ -203,7 +217,7 @@ def _cccs_residual(u, p, dyn):
 
 CCCS = DeviceModel(
     name="cccs", terminals=("p", "n", "isense"), residual=_cccs_residual,
-    defaults={"gain": 1.0})
+    defaults={"gain": 1.0}, linear=True)
 
 
 def _ccvs_residual(u, p, dyn):
@@ -214,7 +228,7 @@ def _ccvs_residual(u, p, dyn):
 
 CCVS = DeviceModel(
     name="ccvs", terminals=("p", "n", "isense"), residual=_ccvs_residual,
-    internals=(("i", CLASS_I),), defaults={"r": 1.0})
+    internals=(("i", CLASS_I),), defaults={"r": 1.0}, linear=True)
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +343,87 @@ DIODE_RS = DeviceModel(
 
 
 # ---------------------------------------------------------------------------
+# BJT: Ebers-Moll transport formulation with Early effect and junction +
+# diffusion charge (a Gummel-Poon subset: bf/br/is/vaf/var/ikf currents,
+# cje/cjc depletion caps, tf/tr diffusion charge). Terminals c, b, e.
+
+def _junction_q(v, cj0, vj, m, fc):
+    fcv = fc * vj
+    q_below = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(
+        jnp.maximum(1.0 - jnp.minimum(v, fcv) / vj, 1e-6), 1.0 - m))
+    f1 = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(1.0 - fc, 1.0 - m))
+    f2 = jnp.power(1.0 - fc, -1.0 - m)
+    q_above = f1 + cj0 * f2 * ((1.0 - fc * (1.0 + m)) * (v - fcv)
+                               + 0.5 * m / vj * (v * v - fcv * fcv))
+    return jnp.where(v < fcv, q_below, q_above)
+
+
+def _bjt_currents(vbe, vbc, p, dyn):
+    ty = p["type"]
+    vt = dyn.vt
+    is_ = p["is"] * p["area"]
+    ex_be = jnp.exp(jnp.clip(vbe / (p["nf"] * vt), -80.0, 80.0))
+    ex_bc = jnp.exp(jnp.clip(vbc / (p["nr"] * vt), -80.0, 80.0))
+    icc = is_ * (ex_be - 1.0)
+    iec = is_ * (ex_bc - 1.0)
+    # Early + Webster (high-injection) base charge factor
+    qb_inv = (1.0 - vbc / p["vaf"] - vbe / p["var"])
+    qb = 1.0 / jnp.maximum(qb_inv, 0.1)
+    it = (icc - iec) / qb
+    ib = icc / p["bf"] + iec / p["br"]
+    ic = it - iec / p["br"]
+    ie = -(it + icc / p["bf"])
+    return ic, ib, ie, icc, iec
+
+
+def _bjt_residual(u, p, dyn):
+    ty = p["type"]   # +1 npn, -1 pnp
+    vc, vb, ve = ty * u[0], ty * u[1], ty * u[2]
+    vbe = vb - ve
+    vbc = vb - vc
+    ic, ib, ie, icc, iec = _bjt_currents(vbe, vbc, p, dyn)
+    gm = dyn.gmin
+    f = jnp.stack([ty * (ic + gm * (vc - vb)),
+                   ty * (ib - gm * (vc - vb) - gm * (ve - vb)),
+                   ty * (ie + gm * (ve - vb))])
+    vt = dyn.vt
+    qbe = (_junction_q(vbe, p["cje"] * p["area"], p["vje"], p["mje"],
+                       p["fc"]) + p["tf"] * icc)
+    qbc = (_junction_q(vbc, p["cjc"] * p["area"], p["vjc"], p["mjc"],
+                       p["fc"]) + p["tr"] * iec)
+    q = jnp.stack([-ty * qbc, ty * (qbe + qbc), -ty * qbe])
+    return f, q
+
+
+def _bjt_limit(u, u_prev, p, dyn):
+    ty = p["type"]
+    vt = dyn.vt
+    is_ = p["is"] * p["area"]
+    vcrit = vt * jnp.log(vt / (math.sqrt(2.0) * jnp.maximum(is_, 1e-300)))
+    vbe = pnjlim(ty * (u[1] - u[2]), ty * (u_prev[1] - u_prev[2]), vt, vcrit)
+    vbc = pnjlim(ty * (u[1] - u[0]), ty * (u_prev[1] - u_prev[0]), vt, vcrit)
+    # keep base voltage, move emitter/collector to honor limited junctions
+    return u.at[2].set(u[1] - ty * vbe).at[0].set(u[1] - ty * vbc)
+
+
+def _bjt_noise(u, p, dyn):
+    ty = p["type"]
+    vc, vb, ve = ty * u[0], ty * u[1], ty * u[2]
+    ic, ib, _, _, _ = _bjt_currents(vb - ve, vb - vc, p, dyn)
+    return jnp.stack([2.0 * QE * jnp.abs(ic), 2.0 * QE * jnp.abs(ib)])
+
+
+BJT = DeviceModel(
+    name="bjt", terminals=("c", "b", "e"), residual=_bjt_residual,
+    defaults={"type": 1.0, "is": 1e-16, "bf": 100.0, "br": 1.0,
+              "nf": 1.0, "nr": 1.0, "vaf": 1e12, "var": 1e12,
+              "cje": 0.0, "vje": 0.75, "mje": 0.33,
+              "cjc": 0.0, "vjc": 0.75, "mjc": 0.33,
+              "tf": 0.0, "tr": 0.0, "fc": 0.5, "area": 1.0},
+    limit=_bjt_limit, noise=_bjt_noise, noise_pairs=((0, 2), (1, 2)))
+
+
+# ---------------------------------------------------------------------------
 # MOSFET level 1 (square law with channel-length modulation), matching the
 # reference's SimpleMOSFET (`src/mna/devices.jl` SimpleMOSFET) but 4-terminal
 # with fixed overlap capacitances for transient realism.
@@ -381,5 +476,5 @@ MOSFET1 = DeviceModel(
 
 
 BUILTINS = {m.name: m for m in
-            (RESISTOR, CAPACITOR, INDUCTOR, VSOURCE, ISOURCE,
-             VCVS, VCCS, CCCS, CCVS, DIODE, DIODE_RS, MOSFET1)}
+            (RESISTOR, CAPACITOR, INDUCTOR, VSOURCE, ISOURCE, VCVS, VCCS,
+             CCCS, CCVS, DIODE, DIODE_RS, BJT, MOSFET1, MUTUAL)}

@@ -35,7 +35,10 @@ class Instance:
     nodes: tuple                       # node names (terminals only)
     params: dict                       # scalar overrides
     wave: Optional[Waveform] = None
-    sense: Optional[str] = None        # V-source name for CCCS/CCVS
+    # branch-current couplings (CCCS/CCVS sense a V source; mutual
+    # inductance senses both inductors): instance names whose '#i' branch
+    # unknowns are wired into 'isense*' terminals in order
+    sense: tuple = ()
 
 
 @dataclasses.dataclass
@@ -72,15 +75,22 @@ class Circuit:
                 f"{name}: unknown parameter(s) {sorted(unknown)} for model "
                 f"{model.name!r}; valid: {sorted(model.defaults)}")
         nodes = tuple(str(n) for n in nodes)
-        n_term = len(model.terminals)
-        if sense is not None:
-            n_term -= 1  # the sense current is wired at elaboration
+        if sense is None:
+            sense = ()
+        elif isinstance(sense, str):
+            sense = (sense,)
+        n_sense = sum(1 for t in model.terminals
+                      if t.startswith("isense"))
+        if len(sense) != n_sense:
+            raise ValueError(f"{name}: model {model.name!r} needs "
+                             f"{n_sense} sensed branch(es), got {len(sense)}")
+        n_term = len(model.terminals) - n_sense
         if len(nodes) != n_term:
             raise ValueError(f"{name}: model {model.name!r} needs {n_term} "
                              f"nodes, got {len(nodes)}")
         self._names.add(name)
         self.instances.append(Instance(model, name, nodes, dict(params),
-                                       wave, sense))
+                                       wave, tuple(sense)))
         return self
 
     # convenience wrappers -------------------------------------------------
@@ -221,7 +231,7 @@ def elaborate(cir: Circuit, spec: SimSpec) -> CompiledCircuit:
     classes = [CLASS_V] * n_nodes
     next_idx = n_nodes
     internal_idx: dict[tuple, int] = {}   # (inst_name, internal_name) -> idx
-    branch_of_vsource: dict[str, int] = {}
+    branch_of: dict[str, int] = {}        # inst -> its 'i' branch unknown
     for model in order:
         for inst in by_model[model]:
             for iname, icls in model.internals:
@@ -230,8 +240,8 @@ def elaborate(cir: Circuit, spec: SimSpec) -> CompiledCircuit:
                 internal_idx[(inst.name, iname)] = idx
                 names[f"{inst.name}#{iname}"] = idx
                 classes.append(icls)
-                if model.name == "vsource" and iname == "i":
-                    branch_of_vsource[inst.name] = idx
+                if iname == "i":
+                    branch_of[inst.name] = idx
     n = next_idx
     ground = n  # padding slot
 
@@ -250,18 +260,22 @@ def elaborate(cir: Circuit, spec: SimSpec) -> CompiledCircuit:
         waves = [] if any(i.wave is not None for i in insts) else None
         for si, inst in enumerate(insts):
             col = 0
+            node_i = 0
+            sense_i = 0
             for t in range(len(model.terminals)):
                 tname = model.terminals[t]
-                if tname == "isense":
-                    if inst.sense is None:
-                        raise ValueError(f"{inst.name}: needs sense= V-source")
-                    if inst.sense not in branch_of_vsource:
+                if tname.startswith("isense"):
+                    target = inst.sense[sense_i]
+                    sense_i += 1
+                    if target not in branch_of:
                         raise ValueError(
-                            f"{inst.name}: sensed V-source {inst.sense!r} "
-                            f"not found")
-                    conn[si, col] = branch_of_vsource[inst.sense]
+                            f"{inst.name}: sensed device {target!r} has no "
+                            f"branch current (must be a V source or "
+                            f"inductor)")
+                    conn[si, col] = branch_of[target]
                 else:
-                    conn[si, col] = node_idx(inst.nodes[col])
+                    conn[si, col] = node_idx(inst.nodes[node_i])
+                    node_i += 1
                 col += 1
             for iname, _ in model.internals:
                 conn[si, col] = internal_idx[(inst.name, iname)]
