@@ -23,12 +23,13 @@ class DCSolution:
     with a leading sweep axis."""
 
     def __init__(self, cc: CompiledCircuit, x, converged, iters,
-                 resnorm=None):
+                 resnorm=None, params=None):
         self.cc = cc
         self.x = x
         self.converged = converged
         self.iters = iters
         self.resnorm = resnorm
+        self.params = params
 
     def __getitem__(self, name):
         return self.x[..., self.cc.index_of(str(name))]
@@ -43,6 +44,37 @@ class DCSolution:
 
     def keys(self):
         return self.cc.names.keys()
+
+    def _eval_device(self, inst):
+        """Evaluate one instance's residual at the operating point."""
+        import jax.numpy as jnp
+        from ..mna.assemble import pad_state
+        gi, slot = self.cc.inst_group[inst]
+        g = self.cc.groups[gi]
+        params = self.params if self.params is not None \
+            else self.cc.params0()
+        xp = pad_state(jnp.asarray(self.x))
+        u = xp[..., jnp.asarray(g.conn[slot])]
+        p = jax.tree.map(lambda a: a[..., slot], params[gi])
+        dyn = self.cc.spec.dyn()
+        return g, u, p, dyn
+
+    def currents(self, inst):
+        """Terminal currents of a device at the DC operating point:
+        {terminal_name: current flowing INTO the device} (reference
+        terminal-current op info, `vasim.jl:3057-3095`)."""
+        g, u, p, dyn = self._eval_device(inst)
+        f, _ = g.model.residual(u, p, dyn)
+        return {t: float(f[i]) for i, t in enumerate(g.model.terminals)}
+
+    def op_info(self, inst):
+        """Model-defined operating-point variables (gm, ids, ...) for one
+        instance, if its model publishes them."""
+        g, u, p, dyn = self._eval_device(inst)
+        if g.model.opvars is None:
+            return {}
+        vals = g.model.opvars(u, p, dyn)
+        return {k: float(v) for k, v in vals.items()}
 
     def __repr__(self):
         conv = np.asarray(self.converged)
@@ -72,7 +104,8 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
         x0 = jnp.zeros(cc.n, DTYPE)
     dyn = cc.spec.dyn(mode=mode, time=time)
     r = _get_dc_solver(cc)(x0, params, dyn)
-    return DCSolution(cc, r.x, r.converged, r.iters, r.resnorm)
+    return DCSolution(cc, r.x, r.converged, r.iters, r.resnorm,
+                      params=params)
 
 
 def op_tran(cc: CompiledCircuit, params=None, x0=None,

@@ -108,7 +108,7 @@ def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
 
 
 def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
-                     method: str | None = None):
+                     method: str | None = None, integ: str = "trap"):
     """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
     hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced."""
     assemble = make_assembler(cc)
@@ -143,7 +143,7 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         #         xs, naccept, nreject, nnewton, fail, nsteps)
         si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
         state = dict(
-            t=t0, h=h0, x=x0, lim=lim0, q=q0, qdot=qdot0,
+            t=t0, h=h0, x=x0, lim=lim0, q=q0, qdot=qdot0, q1=q0,
             x1=x0, t1=t0 - 1.0, x2=x0, t2=t0 - 2.0,
             ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
             naccept=jnp.int32(0), nreject=jnp.int32(0),
@@ -166,10 +166,20 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             t_new = t + h_eff
             hit_bp = t_new >= bp_t - 1e-15 * jnp.maximum(bp_t, 1.0)
 
-            # integration coefficients: BE (ord 1) or trap (ord 2)
+            # integration coefficients: BE (ord 1), trap or gear2 (ord 2)
             use_be = s["ord"] == 1
-            c0 = jnp.where(use_be, 1.0 / h_eff, 2.0 / h_eff)
-            rhs_q = c0 * s["q"] + jnp.where(use_be, 0.0, 1.0) * s["qdot"]
+            if integ == "trap":
+                c0 = jnp.where(use_be, 1.0 / h_eff, 2.0 / h_eff)
+                rhs_q = c0 * s["q"] + jnp.where(use_be, 0.0,
+                                                1.0) * s["qdot"]
+            else:  # gear2: variable-step BDF2 over charge history
+                h2 = jnp.maximum(t - s["t1"], 1e-300)
+                a0 = (2 * h_eff + h2) / (h_eff * (h_eff + h2))
+                b0 = -(h_eff + h2) / (h_eff * h2)
+                g0 = h_eff / (h2 * (h_eff + h2))
+                c0 = jnp.where(use_be, 1.0 / h_eff, a0)
+                rhs_q = jnp.where(use_be, s["q"] / h_eff,
+                                  -(b0 * s["q"] + g0 * s["q1"]))
 
             # linear predictor for warm start
             dt1 = jnp.maximum(t - s["t1"], 1e-300)
@@ -204,10 +214,10 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                 NEWTON_FAIL_CUT)
             h_next = jnp.clip(h_eff * fac, hmin, hmax)
 
-            # --- accepted path
+            # --- accepted path (qdot from the discretization identity:
+            # qdot_{n+1} = c0*q_{n+1} - rhs_q for BE/trap/gear2 alike)
             q_new = r.q
-            qdot_new = c0 * (q_new - s["q"]) - jnp.where(
-                use_be, 0.0, 1.0) * s["qdot"]
+            qdot_new = c0 * q_new - rhs_q
             si_new, xs_new = save_points(s["si"], s["xs"], t, x, t_new, r.x)
             fail_now = (~accept) & (h_eff <= hmin * 1.01)
 
@@ -218,10 +228,15 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                 t=pick(t_new, t), h=h_next,
                 x=pick(r.x, x), lim=pick(r.lim, s["lim"]),
                 q=pick(q_new, s["q"]), qdot=pick(qdot_new, s["qdot"]),
+                q1=pick(s["q"], s["q1"]),
                 x1=pick(x, s["x1"]), t1=pick(t, s["t1"]),
                 x2=pick(s["x1"], s["x2"]), t2=pick(s["t1"], s["t2"]),
+                # order control: BE after breakpoints AND after Newton
+                # failures (BE is the most robust restart), else 2nd order
                 ord=jnp.where(accept & hit_bp, jnp.int32(1),
-                              jnp.where(accept, jnp.int32(2), s["ord"])),
+                              jnp.where(accept, jnp.int32(2),
+                                        jnp.where(r.converged, s["ord"],
+                                                  jnp.int32(1)))),
                 bp_i=jnp.where(accept & hit_bp, s["bp_i"] + 1, s["bp_i"]),
                 si=jnp.where(accept, si_new, s["si"]),
                 xs=jnp.where(accept, xs_new, s["xs"]),
@@ -243,7 +258,8 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
 
 def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
          n_save: int | None = None, save_ts=None, max_steps: int = 200_000,
-         x0=None, method: str | None = None,
+         x0=None, method: str | None = None, integ: str = "trap",
+         ic: dict | None = None, uic: bool = False,
          _vmap_axes=None) -> TranSolution:
     """Transient analysis over tspan=(t0, tstop).
 
@@ -267,8 +283,12 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     save_ts = jnp.asarray(save_ts, DTYPE)
     n_save = int(save_ts.shape[0])
 
-    # operating point at t0 with transient source values
+    # operating point at t0 with transient source values; `uic` skips the
+    # DC solve and starts from zeros + .ic values (SPICE UIC / reference
+    # CedarUICOp territory); `ic` forces node voltages into x0 either way
     op_conv = True
+    if x0 is None and uic:
+        x0 = jnp.zeros(cc.n, DTYPE)
     if x0 is None:
         if _vmap_axes is not None:
             from ..mna.newton import make_dc_solver
@@ -284,13 +304,17 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
             x0 = op.x
             op_conv = op.converged
     x0 = jnp.asarray(x0, DTYPE)
+    if ic:
+        for node, v in ic.items():
+            x0 = x0.at[..., cc.index_of(str(node))].set(float(v))
 
     bp = collect_breakpoints(cc, tstop)
     bp = bp[bp > t0]
-    key = ("tran_runner", n_save, int(max_steps), len(bp), method,
+    key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
            None if _vmap_axes is None else str(_vmap_axes))
     if key not in cc.cache:
-        runner = make_tran_runner(cc, n_save, max_steps, method=method)
+        runner = make_tran_runner(cc, n_save, max_steps, method=method,
+                                  integ=integ)
         rhs = make_rhs_assembler(cc)
         assemble = make_assembler(cc)
 

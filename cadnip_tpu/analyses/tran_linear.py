@@ -88,23 +88,37 @@ def make_linear_runner(cc: CompiledCircuit, n_steps: int, block: int = 256):
 
         _, Tp = jax.lax.scan(pow_body, jnp.eye(2 * n, dtype=DTYPE),
                              None, length=block + 1)
-        # W[i, j] = T^(i-j) for j <= i else 0   (i, j in 0..block-1)
+        # W[i, j] = T^(i-j) for j <= i else 0   (i, j in 0..block-1),
+        # flattened to one [B*2n, B*2n] lower-block-triangular matrix so the
+        # convolution is a single large matmul (fast compile, MXU-friendly)
+        m2 = 2 * n
         ii = np.arange(block)[:, None]
         jj = np.arange(block)[None, :]
         idx = np.where(jj <= ii, ii - jj, 0)
         mask = (jj <= ii)[..., None, None]
         W = jnp.where(jnp.asarray(mask), Tp[idx], 0.0)   # [B,B,2n,2n]
-        Tp_shift = Tp[1:block + 1]                       # T^1..T^B
+        Wm = W.transpose(0, 2, 1, 3).reshape(block * m2, block * m2)
 
-        u_blocks = u.reshape(nb, block, 2 * n)
+        u_flat = u.reshape(nb, block * m2)
 
-        def scan_body(z, ub):
-            zs = jnp.einsum("iab,b->ia", Tp_shift, z) + \
-                jnp.einsum("ijab,jb->ia", W, ub)
-            return zs[-1], zs
+        # 1) within-block causal convolutions, batched over ALL blocks at
+        #    once: conv[m, i] = sum_{j<=i} T^(i-j) u[mB+j]
+        conv = u_flat @ Wm.T                              # [nb, B*2n]
+        conv = conv.reshape(nb, block, m2)
 
-        _, Z = jax.lax.scan(scan_body, z0, u_blocks)
-        Z = Z.reshape(n_pad, 2 * n)[:n_steps]
+        # 2) block-end recurrence Z_{m+1} = T^B Z_m + conv[m, -1]: the only
+        #    sequential piece — nb tiny matvecs in a scan
+        TB = Tp[block]
+
+        def scan_body(z, s):
+            return TB @ z + s, z
+
+        _, Zstart = jax.lax.scan(scan_body, z0, conv[:, -1])  # [nb, 2n]
+
+        # 3) expand every in-block state: z_{mB+i+1} = T^(i+1) Z_m + conv
+        Pm = Tp[1:block + 1].reshape(block * m2, m2)      # [B*2n, 2n]
+        Z = (Zstart @ Pm.T).reshape(nb, block, m2) + conv
+        Z = Z.reshape(n_pad, m2)[:n_steps]
         xs = jnp.concatenate([x0[None, :], Z[:, :n]], axis=0)
         return xs
 
@@ -132,8 +146,24 @@ def tran_linear(cc: CompiledCircuit, tspan, dt, params=None, *,
         params = cc.params0()
     op_conv = True
     if x0 is None:
-        op = dc(cc, params, mode=MODE_TRANOP, time=t0)
-        x0, op_conv = op.x, op.converged
+        # linear circuit: the operating point is ONE linear solve (no
+        # Newton chain — also avoids compiling the DC fallback machinery)
+        okey = ("linear_op",)
+        if okey not in cc.cache:
+            assemble = make_assembler(cc)
+            method = solve_method_for_backend()
+
+            def linear_op(params, dyn):
+                zp = jnp.zeros(cc.n + 1, DTYPE)
+                lim = assemble.init_lim(zp)
+                F, _, G, _, _ = assemble(zp, lim, params, dyn)
+                from ..ops.linalg import solve as _solve
+                return _solve(G, -F, method=method)
+
+            cc.cache[okey] = jax.jit(linear_op)
+        x0 = cc.cache[okey](params, cc.spec.dyn(mode=MODE_TRANOP,
+                                                time=t0))
+        op_conv = bool(np.isfinite(np.asarray(x0)).all())
     key = ("tran_linear", n_steps, block)
     if key not in cc.cache:
         cc.cache[key] = jax.jit(make_linear_runner(cc, n_steps, block))

@@ -14,9 +14,24 @@ This module must be imported before any JAX computation is traced.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache (opt-in via CADNIP_COMPILE_CACHE=<dir>):
+# TPU compiles for the jitted solvers are tens of seconds through the remote
+# compile service; bench.py enables this. Not on by default because CPU AOT
+# entries are machine-feature-specific and may not transfer.
+_cache_dir = os.environ.get("CADNIP_COMPILE_CACHE", "")
+if _cache_dir and _cache_dir != "0":
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -51,12 +51,24 @@ class ModelCard:
 
 @dataclasses.dataclass
 class Scope:
-    """Lexical scope: parameters (exprs or values), model cards, subckts."""
+    """Lexical scope: parameters (exprs or values), model cards, subckts,
+    imported Verilog-A modules (tier-2 model resolution, most-recent-wins,
+    reference `spice_select_device` sema.jl:308-333)."""
     parent: Optional["Scope"] = None
     param_exprs: dict = dataclasses.field(default_factory=dict)
     param_vals: dict = dataclasses.field(default_factory=dict)
     models: dict = dataclasses.field(default_factory=dict)
     subckts: dict = dataclasses.field(default_factory=dict)
+    va_modules: dict = dataclasses.field(default_factory=dict)
+
+    def lookup_va(self, name):
+        s = self
+        name = name.lower()
+        while s is not None:
+            if name in s.va_modules:
+                return s.va_modules[name]
+            s = s.parent
+        return None
 
     def lookup_param(self, name):
         s = self
@@ -115,7 +127,9 @@ class Analysis:
 
 
 class Elaborator:
-    def __init__(self, *, include_dirs=(), section=None, spec=None):
+    def __init__(self, *, include_dirs=(), section=None, spec=None,
+                 dialect="spice"):
+        self.dialect = dialect
         self.include_dirs = list(include_dirs)
         self.section = section          # .lib section selection
         self.analyses: list[Analysis] = []
@@ -137,7 +151,11 @@ class Elaborator:
         """Numeric value of a field token."""
         kind, val = field[0], field[1]
         if kind == "word":
-            num = parse_number(val)
+            if self.dialect == "spectre":
+                from .spectre import parse_spectre_number
+                num = parse_spectre_number(val)
+            else:
+                num = parse_number(val)
             if num is not None:
                 return num
             return eval_expr(parse_expr(val), _ScopeEnv(scope, extra))
@@ -164,8 +182,16 @@ class Elaborator:
             elif isinstance(card, IfBlock):
                 elements.append(card)
             elif isinstance(card, DotCard):
-                self._dot(card, scope, elements)
+                if card.kind.startswith("spectre_"):
+                    self.analyses.append(Analysis(
+                        card.kind[8:], {"fields": card.fields,
+                                        "kwargs": card.kwargs,
+                                        "spectre": True}))
+                else:
+                    self._dot(card, scope, elements)
             elif isinstance(card, Element):
+                elements.append(card)
+            elif type(card).__name__ == "_SpectreInst":
                 elements.append(card)
         return elements
 
@@ -195,6 +221,11 @@ class Elaborator:
                     self.globals.add(f[1])
         elif kind == "include":
             self._include(card, scope, elements)
+        elif kind in ("hdl", "ahdl_include"):
+            path = self._resolve_path(card.fields[0][1])
+            from ..va.codegen import load_va_file
+            for name, model in load_va_file(path).items():
+                scope.va_modules[name.lower()] = model
         elif kind == "lib":
             self._lib(card, scope, elements)
         elif kind in ("ic", "nodeset"):
@@ -328,6 +359,13 @@ class Elaborator:
                         self.build(inner, scope, prefix, node_map)
                         break
                 continue
+            if type(card).__name__ == "_SpectreInst":
+                try:
+                    self._spectre_inst(card, scope, prefix, flat_node)
+                except (ExprError, ElabError, ValueError) as e:
+                    raise ElabError(f"line {card.line_no}: {e}\n    "
+                                    f"{card.line}") from None
+                continue
             if not isinstance(card, Element):
                 continue
             try:
@@ -417,11 +455,28 @@ class Elaborator:
                                                      prefix + l2),
                          m=float(k))
             self._mutuals.append((name, prefix + l1, prefix + l2, float(k)))
+        elif L == "N" or L == "Y":
+            # VA device instance: nname node... modelname [p=v ...]
+            ws = [fld[1] for fld in f if fld[0] == "word"]
+            mname = ws[-1]
+            mc = scope.lookup_model(mname)
+            va = scope.lookup_va(mc.mtype) if mc else scope.lookup_va(mname)
+            if va is None:
+                raise ElabError(f"{name}: unknown VA model {mname!r}")
+            extra = {k: self.value_of(v, scope) for k, v in kw.items()}
+            self._va_inst(name, va, ws[:-1], flat_node,
+                          dict(mc.params if mc else {}, **extra))
         elif L == "D":
             n1, n2 = words(2)
             mc = scope.lookup_model(f[2][1])
             if mc is None:
                 raise ElabError(f"{name}: unknown diode model {f[2][1]!r}")
+            va = scope.lookup_va(mc.mtype)
+            if va is not None:
+                extra = {k: self.value_of(v, scope) for k, v in kw.items()}
+                self._va_inst(name, va, [n1, n2], flat_node,
+                              dict(mc.params, **extra))
+                return
             p = _map_model_params(mc, _DIODE_MAP, self._warn_once)
             area = self.value_of(f[3], scope) if len(f) > 3 else 1.0
             if "area" in kw:
@@ -453,6 +508,12 @@ class Elaborator:
             mc = scope.lookup_model(mname)
             if mc is None:
                 raise ElabError(f"{name}: unknown MOS model {mname!r}")
+            va = scope.lookup_va(mc.mtype)
+            if va is not None:
+                extra = {k: self.value_of(v, scope) for k, v in kw.items()}
+                self._va_inst(name, va, ws[:4], flat_node,
+                              dict(mc.params, **extra))
+                return
             p = _map_model_params(mc, _MOS_MAP, self._warn_once)
             p["type"] = -1.0 if mc.mtype == "pmos" else 1.0
             p["w"] = (self.value_of(kw["w"], scope) if "w" in kw
@@ -548,6 +609,132 @@ class Elaborator:
         adder(name, flat_node(nodes[0]), flat_node(nodes[1]), wave=wave,
               acmag=acmag, acphase=acphase)
 
+    def _spectre_inst(self, card, scope, prefix, flat_node):
+        """Spectre instance: primitive master, subckt, model card, or VA
+        module (reference Spectre primitives, `codegen.jl:1877-2188`)."""
+        name = prefix + card.name
+        master = card.master
+        ml = master.lower()
+        nodes = [flat_node(n) for n in card.nodes]
+
+        def val(key, default=None):
+            if key in card.kwargs:
+                return self.value_of(card.kwargs[key], scope)
+            return default
+
+        if ml == "resistor":
+            self.cir.R(name, nodes[0], nodes[1], val("r", 1e3))
+        elif ml == "capacitor":
+            self.cir.C(name, nodes[0], nodes[1], val("c", 1e-12))
+        elif ml == "inductor":
+            self.cir.L(name, nodes[0], nodes[1], val("l", 1e-9))
+        elif ml in ("vsource", "isource", "iprobe"):
+            ty = ""
+            if "type" in card.kwargs:
+                ty = card.kwargs["type"][1].lower()
+            wave = None
+            if ty == "pulse":
+                wave = wf.Pulse(val("val0", 0.0), val("val1", 1.0),
+                                val("delay", 0.0), val("rise", 1e-9),
+                                val("fall", 1e-9), val("width", 1e30),
+                                val("period", 1e30))
+            elif ty in ("sine", "sin"):
+                wave = wf.Sin(val("sinedc", val("dc", 0.0)),
+                              val("ampl", 1.0), val("freq", 1e3),
+                              val("delay", 0.0), val("damp", 0.0))
+            elif ty == "pwl":
+                pts = card.kwargs.get("wave")
+                if pts is not None and pts[0] == "group":
+                    vals = [self.value_of(x, scope) for x in pts[1]]
+                    wave = wf.PWL(vals)
+            if wave is None:
+                wave = wf.DC(val("dc", 0.0))
+            elif val("dc") is not None:
+                wave = dataclasses.replace(wave, dc=val("dc"))
+            adder = (self.cir.V if ml in ("vsource", "iprobe")
+                     else self.cir.I)
+            adder(name, nodes[0], nodes[1], wave=wave,
+                  acmag=val("mag", 0.0), acphase=val("phase", 0.0))
+        elif ml == "vcvs":
+            self.cir.add(dv.VCVS, name, tuple(nodes[:4]),
+                         gain=val("gain", 1.0))
+        elif ml == "vccs":
+            self.cir.add(dv.VCCS, name, tuple(nodes[:4]),
+                         gm=val("gm", val("gain", 1.0)))
+        elif ml == "cccs":
+            self.cir.add(dv.CCCS, name, tuple(nodes[:2]),
+                         sense=prefix + str(card.kwargs.get(
+                             "probe", ("word", ""))[1]),
+                         gain=val("gain", 1.0))
+        elif ml == "ccvs":
+            self.cir.add(dv.CCVS, name, tuple(nodes[:2]),
+                         sense=prefix + str(card.kwargs.get(
+                             "probe", ("word", ""))[1]),
+                         r=val("rm", val("gain", 1.0)))
+        elif ml == "mutual_inductor":
+            l1 = str(card.kwargs.get("ind1", ("word", ""))[1])
+            l2 = str(card.kwargs.get("ind2", ("word", ""))[1])
+            k = val("coupling", 0.0)
+            self.cir.add(dv.MUTUAL, name, (),
+                         sense=(prefix + l1, prefix + l2), m=float(k))
+            self._mutuals.append((name, prefix + l1, prefix + l2,
+                                  float(k)))
+        else:
+            # subckt / model-card / VA module master
+            sub = scope.lookup_subckt(master)
+            if sub is not None:
+                fake = Element("element", card.line_no, card.line,
+                               letter="X", name=card.name,
+                               fields=[("word", n) for n in card.nodes]
+                               + [("word", master)], kwargs=card.kwargs)
+                self._subckt_call(fake, scope, prefix, flat_node)
+                return
+            mc = scope.lookup_model(master)
+            va = scope.lookup_va(mc.mtype) if mc else \
+                scope.lookup_va(master)
+            if va is not None:
+                extra = {k: self.value_of(v, scope)
+                         for k, v in card.kwargs.items()}
+                self._va_inst(name, va, card.nodes, flat_node,
+                              dict(mc.params if mc else {}, **extra))
+                return
+            if mc is not None:
+                # model card over a builtin type: emulate the letter path
+                letter = {"d": "D", "nmos": "M", "pmos": "M", "npn": "Q",
+                          "pnp": "Q"}.get(mc.mtype)
+                if letter:
+                    fields = [("word", n) for n in card.nodes] + \
+                        [("word", master)]
+                    fake = Element("element", card.line_no, card.line,
+                                   letter=letter, name=card.name,
+                                   fields=fields, kwargs=card.kwargs)
+                    self._element(fake, scope, prefix, flat_node)
+                    return
+            raise ElabError(f"{name}: unknown master {master!r}")
+
+    def _va_inst(self, name, model, node_names, flat_node, params: dict):
+        """Instantiate a compiled VA DeviceModel with case-insensitive
+        parameter mapping; overridden params get their __given mask set."""
+        lmap = {k.lower(): k for k in model.defaults
+                if not k.endswith("__given")}
+        kw = {}
+        for k, v in params.items():
+            kl = str(k).lower()
+            if kl in ("level", "version"):
+                continue
+            if kl in lmap:
+                kw[lmap[kl]] = float(v)
+                kw[lmap[kl] + "__given"] = 1.0
+            else:
+                self._warn_once(("vap", model.name, kl),
+                                f"{model.name}: parameter {k!r} ignored")
+        n_term = len(model.terminals)
+        if len(node_names) != n_term:
+            raise ElabError(f"{name}: VA module {model.name} has {n_term} "
+                            f"ports, got {len(node_names)} nodes")
+        self.cir.add(model, name,
+                     tuple(flat_node(n) for n in node_names), **kw)
+
     def _subckt_call(self, card: Element, scope, prefix, flat_node):
         words = [fld[1] for fld in card.fields if fld[0] == "word"]
         if not words:
@@ -556,6 +743,13 @@ class Elaborator:
         nodes = words[:-1]
         sub = scope.lookup_subckt(subname)
         if sub is None:
+            va = scope.lookup_va(subname)
+            if va is not None:
+                extra = {k: self.value_of(v, scope)
+                         for k, v in card.kwargs.items()}
+                self._va_inst(prefix + card.name, va, nodes, flat_node,
+                              extra)
+                return
             raise ElabError(f"unknown subcircuit {subname!r}")
         if len(nodes) != len(sub.ports):
             raise ElabError(f"{card.name}: subckt {subname} has "
@@ -610,7 +804,8 @@ _BJT_MAP = {
 }
 _MOS_MAP = {
     "vto": "vth", "vth0": "vth", "kp": "kp", "lambda": "lambda",
-    "cgso": "cgs", "cgdo": "cgd", "cgbo": "cgb",
+    "cgso": "cgs", "cgdo": "cgd", "cgbo": "cgb", "cbd": "cbd",
+    "cbs": "cbs",
 }
 
 
@@ -776,13 +971,26 @@ def _make_bsource_model(name, ast, is_v, scope, flat_node, out_nodes,
 # public entry points
 
 def elaborate_netlist(source, *, include_dirs=(), section=None,
-                      spec: SimSpec | None = None, title=None):
-    """SPICE text (or a parsed Netlist) -> (Circuit, Elaborator).
+                      spec: SimSpec | None = None, title=None,
+                      dialect="auto"):
+    """SPICE/Spectre text (or a parsed Netlist) -> (Circuit, Elaborator).
 
     The Elaborator carries the parsed analysis cards, .options and .temp.
+    dialect: 'spice' | 'spectre' | 'auto' (detects `simulator
+    lang=spectre` / paren-style instance lines).
     """
-    nl = source if isinstance(source, Netlist) else parse_netlist(source)
-    el = Elaborator(include_dirs=include_dirs, section=section)
+    if isinstance(source, Netlist):
+        nl = source
+        if dialect == "auto":
+            dialect = "spice"
+    else:
+        from .spectre import looks_like_spectre, parse_spectre
+        if dialect == "auto":
+            dialect = "spectre" if looks_like_spectre(source) else "spice"
+        nl = (parse_spectre(source) if dialect == "spectre"
+              else parse_netlist(source))
+    el = Elaborator(include_dirs=include_dirs, section=section,
+                    dialect=dialect)
     root = Scope()
     elements = el.collect(nl.cards, root)
     el.eval_params(root)
@@ -858,6 +1066,12 @@ def simulate(source, *, include_dirs=(), section=None,
     cc = cir.compile(spice_spec(el, spec))
     results = {"all": [], "circuit": cc}
     for an in el.analyses:
+        if an.args.get("spectre"):
+            sol = _run_spectre_analysis(cc, el, an)
+            if sol is not None:
+                results[an.kind] = sol
+                results["all"].append((an.kind, sol))
+            continue
         fields = an.args["fields"]
         vals = []
         words = []
@@ -871,12 +1085,16 @@ def simulate(source, *, include_dirs=(), section=None,
         if an.kind == "op":
             sol = dc_run(cc)
         elif an.kind == "tran":
-            # .tran tstep tstop [tstart [tmax]]
+            # .tran tstep tstop [tstart [tmax]] [uic]
             tstep = vals[0]
             tstop = vals[1]
             tstart = vals[2] if len(vals) > 2 else 0.0
             tmax = vals[3] if len(vals) > 3 else None
-            sol = tran_run(cc, (tstart, tstop), dt=tstep, dtmax=tmax)
+            integ = ("gear2" if str(el.options.get("method", "")) == "gear"
+                     else "trap")
+            sol = tran_run(cc, (tstart, tstop), dt=tstep, dtmax=tmax,
+                           integ=integ, ic=el.options.get("ic"),
+                           uic=any(w.lower() == "uic" for w in words))
         elif an.kind == "ac":
             mode = words[0].lower() if words else "dec"
             npts = int(vals[0])
@@ -912,3 +1130,50 @@ def simulate(source, *, include_dirs=(), section=None,
         results[an.kind] = sol
         results["all"].append((an.kind, sol))
     return results
+
+
+def _run_spectre_analysis(cc, el, an):
+    """Run one Spectre analysis statement (tran stop=.. step=.., dc,
+    ac start=.. stop=.., noise ...)."""
+    from ..analyses.ac import ac as ac_run, acdec
+    from ..analyses.dc import dc as dc_run
+    from ..analyses.noise import noise as noise_run
+    from ..analyses.tran import tran as tran_run
+
+    kw = an.args["kwargs"]
+
+    def val(key, default=None):
+        if key in kw:
+            from .spectre import parse_spectre_number
+            tok = kw[key]
+            if tok[0] == "word":
+                num = parse_spectre_number(tok[1])
+                if num is not None:
+                    return num
+            try:
+                return float(tok[1])
+            except (TypeError, ValueError):
+                return default
+        return default
+
+    if an.kind in ("op", "dc"):
+        return dc_run(cc)
+    if an.kind == "tran":
+        stop = val("stop")
+        step = val("step", stop / 1000.0 if stop else None)
+        if stop is None:
+            return None
+        return tran_run(cc, (val("start", 0.0), stop), dt=step,
+                        dtmax=val("maxstep"))
+    if an.kind == "ac":
+        fstart = val("start", 1.0)
+        fstop = val("stop", 1e9)
+        freqs = acdec(int(val("dec", 10)), fstart, fstop)
+        return ac_run(cc, freqs)
+    if an.kind == "noise":
+        out = kw.get("out")
+        fstart = val("start", 1.0)
+        fstop = val("stop", 1e6)
+        freqs = acdec(int(val("dec", 10)), fstart, fstop)
+        return noise_run(cc, out[1] if out else None, freqs)
+    return None

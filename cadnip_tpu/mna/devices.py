@@ -69,6 +69,9 @@ class DeviceModel:
     # residual is affine in u (f = A u - b(t), q = C u): enables the
     # fixed-step linear transient fast path (tran_linear)
     linear: bool = False
+    # optional operating-point info: (u, p, dyn) -> dict of named scalars
+    # (reference op-info channel, `context.jl:1200-1342`)
+    opvars: Optional[Callable] = None
     # collapse internal node to terminal when a param is zero, etc. (future)
 
     @property
@@ -428,9 +431,9 @@ BJT = DeviceModel(
 # reference's SimpleMOSFET (`src/mna/devices.jl` SimpleMOSFET) but 4-terminal
 # with fixed overlap capacitances for transient realism.
 
-def _mos1_ids(vgs, vds, p):
+def _mos1_ids(vgs, vds, p, vth):
     beta = p["kp"] * p["w"] / p["l"]
-    vov = vgs - p["vth"]
+    vov = vgs - vth
     clm = 1.0 + p["lambda"] * vds
     i_sat = 0.5 * beta * vov * vov * clm
     i_tri = beta * (vov - 0.5 * vds) * vds * clm
@@ -446,14 +449,22 @@ def _mos1_residual(u, p, dyn):
     fwd = vd >= vs
     vgs = jnp.where(fwd, vg - vs, vg - vd)
     vds = jnp.abs(vd - vs)
-    ids = _mos1_ids(vgs, vds, p) * jnp.where(fwd, 1.0, -1.0) * ty
+    # SPICE convention: vto is negative for PMOS; in the sign-flipped
+    # (primed) frame the effective threshold is ty*vto
+    ids = _mos1_ids(vgs, vds, p, ty * p["vth"]) \
+        * jnp.where(fwd, 1.0, -1.0) * ty
     ids = ids + dyn.gmin * (u[0] - u[2])
     f = jnp.stack([ids, 0.0 * ids, -ids, 0.0 * ids])
-    # fixed gate caps: cgs between g-s, cgd g-d, cgb g-b
+    # fixed gate caps (cgs, cgd, cgb) plus junction caps to bulk (cbd,
+    # cbs) — the latter keep every drain/source node differential so
+    # digital latches never present purely-algebraic bistable nodes
     qgs = p["cgs"] * (u[1] - u[2])
     qgd = p["cgd"] * (u[1] - u[0])
     qgb = p["cgb"] * (u[1] - u[3])
-    q = jnp.stack([-qgd, qgs + qgd + qgb, -qgs, -qgb])
+    qbd = p["cbd"] * (u[3] - u[0])
+    qbs = p["cbs"] * (u[3] - u[2])
+    q = jnp.stack([-qgd - qbd, qgs + qgd + qgb, -qgs - qbs,
+                   -qgb + qbd + qbs])
     return f, q
 
 
@@ -463,16 +474,35 @@ def _mos1_noise(u, p, dyn):
     vd, vg, vs = ty * u[0], ty * u[1], ty * u[2]
     fwd = vd >= vs
     vgs = jnp.where(fwd, vg - vs, vg - vd)
-    vov = jnp.maximum(vgs - p["vth"], 0.0)
+    vov = jnp.maximum(vgs - ty * p["vth"], 0.0)
     gm = p["kp"] * p["w"] / p["l"] * vov
     return jnp.stack([8.0 / 3.0 * KB * dyn.temp * gm])
+
+
+def _mos1_opvars(u, p, dyn):
+    ty = p["type"]
+    vd, vg, vs = ty * u[0], ty * u[1], ty * u[2]
+    fwd = vd >= vs
+    vgs = jnp.where(fwd, vg - vs, vg - vd)
+    vds = jnp.abs(vd - vs)
+    vth = ty * p["vth"]
+    vov = jnp.maximum(vgs - vth, 0.0)
+    beta = p["kp"] * p["w"] / p["l"]
+    ids = _mos1_ids(vgs, vds, p, vth)
+    gm = jnp.where(vds > vov, beta * vov, beta * vds)
+    gds = jnp.where(vds > vov,
+                    0.5 * beta * vov * vov * p["lambda"],
+                    beta * (vov - vds))
+    return {"ids": ids, "vgs": vgs, "vds": vds, "vth": vth, "gm": gm,
+            "gds": gds, "vdsat": vov}
 
 
 MOSFET1 = DeviceModel(
     name="mos1", terminals=("d", "g", "s", "b"), residual=_mos1_residual,
     defaults={"type": 1.0, "vth": 0.7, "kp": 110e-6, "lambda": 0.0,
-              "w": 1e-6, "l": 1e-6, "cgs": 0.0, "cgd": 0.0, "cgb": 0.0},
-    noise=_mos1_noise, noise_pairs=((0, 2),))
+              "w": 1e-6, "l": 1e-6, "cgs": 0.0, "cgd": 0.0, "cgb": 0.0,
+              "cbd": 0.0, "cbs": 0.0},
+    noise=_mos1_noise, noise_pairs=((0, 2),), opvars=_mos1_opvars)
 
 
 BUILTINS = {m.name: m for m in

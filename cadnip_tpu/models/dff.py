@@ -11,8 +11,10 @@ from __future__ import annotations
 import numpy as np
 
 DFF_MODELS = """
-.model n1 nmos (level=1 vto=0.8 kp=120u lambda=0.05 cgso=0.4f cgdo=0.4f)
-.model p1 pmos (level=1 vto=-0.9 kp=50u lambda=0.05 cgso=0.5f cgdo=0.5f)
+.model n1 nmos (level=1 vto=0.8 kp=120u lambda=0.05 cgso=0.4f cgdo=0.4f
++ cbd=0.3f cbs=0.3f)
+.model p1 pmos (level=1 vto=-0.9 kp=50u lambda=0.05 cgso=0.5f cgdo=0.5f
++ cbd=0.4f cbs=0.4f)
 """
 
 
@@ -61,9 +63,11 @@ def dff_netlist(vdd=5.0, cq=1.72e-13, tstop=6e-7, tstep=3.33e-10) -> str:
         f"""vclkn clkn 0 PWL(
 + 0 {vdd} 50n {vdd} 51.02n 0 100n 0 101.02n {vdd} 400n {vdd}
 + 401.02n 0 500n 0 501.02n {vdd} 600n {vdd})""",
+        # data rises 10ns before the 401ns latching edge (setup margin;
+        # quasi-static level-1 devices resolve a zero-margin race to 0)
         f"""vd d 0 PWL(
-+ 0 0 200n 0 201.02n {vdd} 300n {vdd} 301.02n 0 400n 0
-+ 401.02n {vdd} 600n {vdd})""",
++ 0 0 200n 0 201.02n {vdd} 300n {vdd} 301.02n 0 390n 0
++ 391.02n {vdd} 600n {vdd})""",
         f".tran {tstep} {tstop}",
         ".end",
     ]
@@ -78,7 +82,7 @@ def ring_oscillator_netlist(stages=9, vdd=5.0) -> str:
         a = f"n{k}"
         b = f"n{(k + 1) % stages}"
         lines.append(_inv(f"r{k}", a, b, wn=1e-6, wp=2e-6))
-        lines.append(f"cl{k} {b} 0 5f")
+        lines.append(f"cl{k} {b} 0 50f")
     # kick to break the symmetric (metastable) DC point
     lines.append("ik n0 0 PWL(0 0 1n 0 1.1n 50u 2n 50u 2.1n 0 1u 0)")
     return "\n".join(lines)

@@ -1,0 +1,831 @@
+"""Verilog-A -> JAX device compiler.
+
+Turns a parsed `VAModule` into a `DeviceModel` whose residual is a traced
+interpretation of the analog block — the JAX-native replacement for the
+reference's `make_mna_device` (`src/vasim.jl:201-584`):
+
+  * **ddt via jvp**: the analog block is evaluated as a function of a
+    synthetic Laplace variable s with `ddt(x) := s*x`; then
+    (f, q) = jax.jvp(eval, (0,), (1,)). This is the reference's s-dual
+    contribution trick (`src/mna/contrib.jl:356-375`) expressed as a native
+    JAX transform — no hand-rolled dual tags.
+  * **conditionals**: both branches are evaluated and merged with
+    jnp.where masks (variables AND contributions), so there is no
+    stamp-hoisting problem (`vasim.jl:1984-2133` machinery is unnecessary:
+    structure is fixed by construction).
+  * **parameter defaults**: VA defaults may reference other parameters;
+    effective values are computed *in traced code* from (value, given)
+    pairs in dependency order, so `$param_given` and sweeps over VA
+    parameters behave exactly like the reference's DefaultOr system
+    (`vasim.jl:480-569`).
+  * **voltage contributions** allocate branch-current unknowns; internal
+    nodes become internal voltage unknowns; `idt` allocates an integrator
+    state with row d/dt y - x = 0.
+  * **noise**: white_noise/flicker_noise sites are collected in a second
+    interpretation pass gated masks included (`vasim.jl:2825-2894`).
+
+Current limitations (tracked for later rounds): `$limit` evaluates its
+first argument unlimited; loop trip counts must be host-evaluable from
+parameter defaults; no `$table_model`/laplace/absdelay yet.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mna.devices import CLASS_I, CLASS_V, DeviceModel
+from ..mna.spec import KB, QE, MODE_AC, MODE_DCOP, MODE_TRAN
+from .parser import VAModule, VAParseError, parse_va
+
+
+class VACompileError(ValueError):
+    pass
+
+
+# math function tables (jnp, traced)
+_F1 = {"exp": jnp.exp, "ln": jnp.log, "log": jnp.log10, "log10": jnp.log10,
+       "sqrt": jnp.sqrt, "abs": jnp.abs, "sin": jnp.sin, "cos": jnp.cos,
+       "tan": jnp.tan, "asin": jnp.arcsin, "acos": jnp.arccos,
+       "atan": jnp.arctan, "sinh": jnp.sinh, "cosh": jnp.cosh,
+       "tanh": jnp.tanh, "floor": jnp.floor, "ceil": jnp.ceil}
+_F2 = {"pow": jnp.power, "min": jnp.minimum, "max": jnp.maximum,
+       "atan2": jnp.arctan2, "hypot": jnp.hypot}
+
+
+def _limexp(x):
+    # overflow-safe exp with linear continuation above x=80 (reference
+    # va_env limexp, `src/va_env.jl`)
+    xc = jnp.minimum(x, 80.0)
+    return jnp.exp(xc) * (1.0 + jnp.maximum(x - 80.0, 0.0))
+
+
+class _Env:
+    """Interpreter state for one evaluation of the analog block."""
+
+    __slots__ = ("vars", "contrib", "mask", "noise_acc", "compiler")
+
+    def __init__(self, compiler, n_local):
+        self.vars = {}
+        self.contrib = jnp.zeros(n_local)
+        self.mask = 1.0            # product of enclosing if-conditions
+        self.noise_acc = []        # [(site_id, psd_value, exponent)]
+        self.compiler = compiler
+
+
+class VACompiler:
+    """Compiles one VAModule. Host pre-pass discovers structure (unknown
+    layout, contribution branches, noise sites); the traced interpreter
+    only ever produces fixed-shape computations."""
+
+    def __init__(self, mod: VAModule):
+        self.mod = mod
+        self.ports = [p[0] for p in mod.ports]
+        # unknown layout: ports, internal nodes, branch currents, idt states
+        self.node_idx = {nm: i for i, nm in enumerate(self.ports)}
+        nxt = len(self.ports)
+        for nm in mod.internal_nodes:
+            self.node_idx[nm] = nxt
+            nxt += 1
+        self.n_nodes = nxt
+        # discover voltage-contribution branches and idt sites
+        self.vbranches = {}       # (p, n) -> current unknown index
+        self.idt_sites = {}       # site id -> state unknown index
+        self._discover(mod.analog)
+        self.n_local = nxt = self.n_nodes
+        for key in self.vbranches:
+            self.vbranches[key] = nxt
+            nxt += 1
+        for key in self.idt_sites:
+            self.idt_sites[key] = nxt
+            nxt += 1
+        self.n_local = nxt
+        # noise sites (static enumeration)
+        self.noise_sites = []     # [(kind, branch(p,n))]
+        self._find_noise(mod.analog, None)
+        # parameter order for traced default resolution
+        self.param_order = self._toposort_params()
+        # numeric defaults double as STRUCTURAL values for loop bounds
+        # (loop trip counts must be static under jit; per-instance
+        # overrides of loop-bound parameters are not supported yet)
+        self._ndefaults = None
+        self._ndefaults = self.numeric_defaults()
+
+    # ------------------------------------------------------------ discovery
+    def _branch_nets(self, nets):
+        if len(nets) == 1:
+            return (nets[0], None)
+        return (nets[0], nets[1])
+
+    def _discover(self, stmts):
+        for st in stmts:
+            k = st[0]
+            if k == "contrib" and st[1] == "V":
+                self.vbranches.setdefault(self._branch_nets(st[2]), None)
+            elif k == "block":
+                self._discover(st[1])
+            elif k == "if":
+                self._discover([st[2]])
+                if st[3] is not None:
+                    self._discover([st[3]])
+            elif k in ("for", "while"):
+                self._discover([st[-1]])
+            elif k == "repeat":
+                self._discover([st[2]])
+            elif k == "case":
+                for _, s in st[2]:
+                    self._discover([s])
+            elif k == "event":
+                self._discover([st[1]])
+        # idt discovery over all expressions
+        def walk_expr(e):
+            if not isinstance(e, tuple):
+                return
+            if e[0] == "call" and e[1] in ("idt", "idtmod"):
+                self.idt_sites.setdefault(id(e), None)
+            for sub in e[1:]:
+                if isinstance(sub, tuple):
+                    walk_expr(sub)
+                elif isinstance(sub, list):
+                    for x in sub:
+                        walk_expr(x)
+
+        def walk_stmt(st):
+            for sub in st[1:]:
+                if isinstance(sub, tuple) and sub and \
+                        isinstance(sub[0], str) and sub[0] in (
+                            "block", "if", "for", "while", "repeat",
+                            "case", "contrib", "assign", "assign_idx",
+                            "sys", "event"):
+                    walk_stmt(sub)
+                elif isinstance(sub, tuple):
+                    walk_expr(sub)
+                elif isinstance(sub, list):
+                    for x in sub:
+                        if isinstance(x, tuple) and x and \
+                                isinstance(x[0], str) and x[0] in (
+                                    "block", "if", "contrib", "assign"):
+                            walk_stmt(x)
+                        else:
+                            walk_expr(x)
+
+        for st in stmts:
+            walk_stmt(st)
+
+    def _find_noise(self, stmts, branch):
+        for st in stmts:
+            k = st[0]
+            if k == "contrib":
+                tgt = self._branch_nets(st[2])
+                self._find_noise_expr(st[3], tgt)
+            elif k == "block":
+                self._find_noise(st[1], branch)
+            elif k == "if":
+                self._find_noise([st[2]], branch)
+                if st[3] is not None:
+                    self._find_noise([st[3]], branch)
+            elif k in ("for", "while"):
+                self._find_noise([st[-1]], branch)
+            elif k == "repeat":
+                self._find_noise([st[2]], branch)
+            elif k == "case":
+                for _, s in st[2]:
+                    self._find_noise([s], branch)
+            elif k == "event":
+                self._find_noise([st[1]], branch)
+
+    def _find_noise_expr(self, e, branch):
+        if not isinstance(e, tuple):
+            return
+        if e[0] == "call" and e[1] in ("white_noise", "flicker_noise"):
+            self.noise_sites.append((id(e), e[1], branch))
+        for sub in e[1:]:
+            if isinstance(sub, tuple):
+                self._find_noise_expr(sub, branch)
+            elif isinstance(sub, list):
+                for x in sub:
+                    self._find_noise_expr(x, branch)
+
+    def _toposort_params(self):
+        from ..frontend.expressions import ExprError
+        deps = {}
+        for nm, p in self.mod.parameters.items():
+            d = set()
+            self._expr_param_deps(p.default, d)
+            deps[nm] = d & set(self.mod.parameters)
+        order = []
+        pending = dict(deps)
+        while pending:
+            ready = [k for k, v in pending.items() if not v]
+            if not ready:
+                raise VACompileError(
+                    f"circular parameter defaults: {sorted(pending)}")
+            for k in ready:
+                order.append(k)
+                del pending[k]
+            for v in pending.values():
+                v.difference_update(ready)
+        return order
+
+    def _expr_param_deps(self, e, out):
+        if not isinstance(e, tuple):
+            return
+        if e[0] == "name":
+            out.add(e[1])
+        for sub in e[1:]:
+            if isinstance(sub, tuple):
+                self._expr_param_deps(sub, out)
+            elif isinstance(sub, list):
+                for x in sub:
+                    self._expr_param_deps(x, out)
+
+    # ------------------------------------------------------- default values
+    def numeric_defaults(self):
+        """Host-evaluated defaults (using only defaults) for the params
+        dict; plus __given masks."""
+        vals = {}
+        for nm in self.param_order:
+            p = self.mod.parameters[nm]
+            try:
+                vals[nm] = float(self._host_eval(p.default, vals))
+            except Exception:
+                vals[nm] = 0.0
+        out = {}
+        for nm in self.mod.parameters:
+            out[nm] = vals.get(nm, 0.0)
+            out[nm + "__given"] = 0.0
+        return out
+
+    def _host_eval(self, e, scope):
+        tag = e[0]
+        if tag == "num":
+            return e[1]
+        if tag == "str":
+            return 0.0
+        if tag == "name":
+            if e[1] in scope:
+                return scope[e[1]]
+            cst = _VA_CONSTANTS.get(e[1])
+            if cst is not None:
+                return cst
+            raise VACompileError(f"unknown name {e[1]!r} in default")
+        if tag == "un":
+            v = self._host_eval(e[2], scope)
+            return {"-": -v, "+": v, "!": float(v == 0), "~": float(~int(v))
+                    }[e[1]]
+        if tag == "bin":
+            a = self._host_eval(e[2], scope)
+            b = self._host_eval(e[3], scope)
+            return _host_binop(e[1], a, b)
+        if tag == "cond":
+            return (self._host_eval(e[2], scope)
+                    if self._host_eval(e[1], scope) != 0
+                    else self._host_eval(e[3], scope))
+        if tag == "call":
+            args = [self._host_eval(a, scope) for a in e[2]]
+            f = getattr(math, e[1], None)
+            if e[1] == "ln":
+                return math.log(args[0])
+            if e[1] == "limexp":
+                return math.exp(min(args[0], 80.0))
+            if e[1] == "pow":
+                return args[0] ** args[1]
+            if e[1] in ("min", "max"):
+                return (min if e[1] == "min" else max)(*args)
+            if f:
+                return f(*args)
+        if tag == "sysfn":
+            if e[1] == "$temperature":
+                return 300.15
+            if e[1] == "$vt":
+                return KB * 300.15 / QE
+        raise VACompileError(f"cannot host-evaluate {e!r}")
+
+    # ------------------------------------------------------------ interpret
+    def effective_params(self, p, dyn):
+        """Traced: resolve (value, given) pairs through default exprs."""
+        eff = {}
+        for nm in self.param_order:
+            par = self.mod.parameters[nm]
+            default = self._eval_expr(par.default, _Env(self, self.n_local),
+                                      None, p, dyn, eff, 0.0)
+            given = p[nm + "__given"]
+            eff[nm] = jnp.where(given > 0, p[nm], default)
+        for alias, tgt in self.mod.aliases.items():
+            eff[alias] = eff[tgt]
+        return eff
+
+    def make_residual(self):
+        comp = self
+
+        def residual(u, p, dyn):
+            eff = comp.effective_params(p, dyn)
+
+            def block(s):
+                env = _Env(comp, comp.n_local)
+                for st in comp.mod.analog:
+                    comp._exec(st, env, u, p, dyn, eff, s)
+                return env.contrib
+
+            f, q = jax.jvp(block, (0.0,), (1.0,))
+            return f, q
+
+        return residual
+
+    def make_noise(self):
+        comp = self
+        if not self.noise_sites:
+            return None, ()
+
+        def noise_fn(u, p, dyn):
+            eff = comp.effective_params(p, dyn)
+            env = _Env(comp, comp.n_local)
+            for st in comp.mod.analog:
+                comp._exec(st, env, u, p, dyn, eff, 0.0)
+            got = {sid: (w, fl) for sid, w, fl in env.noise_acc}
+            out_w = []
+            for sid, kind, branch in comp.noise_sites:
+                w, fl = got.get(sid, (0.0, 0.0))
+                out_w.append(w + jnp.zeros(()))
+            return jnp.stack(out_w)
+
+        def flicker_fn(u, p, dyn):
+            eff = comp.effective_params(p, dyn)
+            env = _Env(comp, comp.n_local)
+            for st in comp.mod.analog:
+                comp._exec(st, env, u, p, dyn, eff, 0.0)
+            got = {sid: (w, fl) for sid, w, fl in env.noise_acc}
+            nums, exps = [], []
+            for sid, kind, branch in comp.noise_sites:
+                w, fl = got.get(sid, (0.0, 1.0))
+                if kind == "flicker_noise":
+                    nums.append(w + jnp.zeros(()))
+                    exps.append(fl + jnp.zeros(()))
+                else:
+                    nums.append(jnp.zeros(()))
+                    exps.append(jnp.ones(()))
+            return jnp.stack(nums), jnp.stack(exps)
+
+        pairs = []
+        for sid, kind, branch in self.noise_sites:
+            pn, nn = branch if branch else (self.ports[0], None)
+            pi = self.node_idx.get(pn, self.n_local)
+            ni = self.node_idx.get(nn, None) if nn else None
+            pairs.append((pi, ni if ni is not None else
+                          (self.n_local if nn else self.node_idx.get(
+                              nn, 0) if nn else 0)))
+        # ground-referenced pairs: second index must be a harmless slot;
+        # structure.py wires locals, so reuse the first port for (p,)
+        fixed_pairs = []
+        for sid, kind, branch in self.noise_sites:
+            pn, nn = branch if branch else (self.ports[0], self.ports[0])
+            pi = self.node_idx[pn]
+            ni = self.node_idx[nn] if nn else pi
+            fixed_pairs.append((pi, ni))
+        # white_noise only in `noise_fn`; flicker separately
+
+        def white_only(u, p, dyn):
+            w = noise_fn(u, p, dyn)
+            kinds = np.array([k == "white_noise"
+                              for _, k, _ in comp.noise_sites])
+            return w * jnp.asarray(kinds, w.dtype)
+
+        return (white_only, flicker_fn, tuple(fixed_pairs))
+
+    # ---- statement execution
+    def _exec(self, st, env, u, p, dyn, eff, s):
+        k = st[0]
+        if k == "block":
+            for sub in st[1]:
+                self._exec(sub, env, u, p, dyn, eff, s)
+        elif k == "assign":
+            env.vars[st[1]] = self._eval_expr(st[2], env, u, p, dyn, eff, s)
+        elif k == "assign_idx":
+            # array variables: store under (name, host_index)
+            idx = self._try_host(st[2], env, eff)
+            env.vars[(st[1], idx)] = self._eval_expr(st[3], env, u, p, dyn,
+                                                     eff, s)
+        elif k == "contrib":
+            self._contrib(st, env, u, p, dyn, eff, s)
+        elif k == "if":
+            cond = self._eval_expr(st[1], env, u, p, dyn, eff, s)
+            self._exec_masked(st[2], st[3], cond, env, u, p, dyn, eff, s)
+        elif k == "case":
+            sel = self._eval_expr(st[1], env, u, p, dyn, eff, s)
+            # lower to if/else chain
+            taken = None
+            for matches, body in st[2]:
+                if matches is None:
+                    cond_val = 1.0
+                else:
+                    cond_val = 0.0
+                    for me in matches:
+                        mv = self._eval_expr(me, env, u, p, dyn, eff, s)
+                        cond_val = jnp.where(sel == mv, 1.0, cond_val)
+                cond_val = cond_val * (1.0 - (taken if taken is not None
+                                              else 0.0))
+                self._exec_masked(body, None, cond_val, env, u, p, dyn,
+                                  eff, s)
+                taken = (taken if taken is not None else 0.0) + cond_val
+        elif k == "for":
+            self._exec(st[1], env, u, p, dyn, eff, s)
+            for _ in range(10000):
+                c = self._try_host(st[2], env, eff)
+                if c is None:
+                    raise VACompileError(
+                        "for-loop condition must be host-evaluable")
+                if not c:
+                    break
+                self._exec(st[4], env, u, p, dyn, eff, s)
+                self._exec(st[3], env, u, p, dyn, eff, s)
+            else:
+                raise VACompileError("for loop exceeded 10000 iterations")
+        elif k == "while":
+            for _ in range(10000):
+                c = self._try_host(st[1], env, eff)
+                if c is None:
+                    raise VACompileError(
+                        "while-loop condition must be host-evaluable")
+                if not c:
+                    break
+                self._exec(st[2], env, u, p, dyn, eff, s)
+        elif k == "repeat":
+            cnt = self._try_host(st[1], env, eff)
+            if cnt is None:
+                raise VACompileError("repeat count must be host-evaluable")
+            for _ in range(int(cnt)):
+                self._exec(st[2], env, u, p, dyn, eff, s)
+        elif k == "sys":
+            pass  # $strobe/$display/$finish: no-op at runtime
+        elif k == "event":
+            self._exec(st[1], env, u, p, dyn, eff, s)
+        else:
+            raise VACompileError(f"unhandled statement {k!r}")
+
+    def _exec_masked(self, then_st, else_st, cond, env, u, p, dyn, eff, s):
+        condf = jnp.where(cond != 0, 1.0, 0.0)
+        saved_vars = dict(env.vars)
+        saved_mask = env.mask
+        saved_contrib = env.contrib
+        env.mask = saved_mask * condf
+        env.contrib = jnp.zeros_like(env.contrib)
+        self._exec(then_st, env, u, p, dyn, eff, s)
+        then_vars = env.vars
+        then_contrib = env.contrib
+        env.vars = dict(saved_vars)
+        env.contrib = jnp.zeros_like(env.contrib)
+        env.mask = saved_mask * (1.0 - condf)
+        if else_st is not None:
+            self._exec(else_st, env, u, p, dyn, eff, s)
+        else_vars = env.vars
+        else_contrib = env.contrib
+        env.mask = saved_mask
+        # merge: contributions were already mask-scaled inside _contrib
+        env.contrib = saved_contrib + then_contrib + else_contrib
+        merged = dict(saved_vars)
+        for key in set(then_vars) | set(else_vars):
+            tv = then_vars.get(key, saved_vars.get(key))
+            ev = else_vars.get(key, saved_vars.get(key))
+            if tv is None:
+                merged[key] = ev
+            elif ev is None:
+                merged[key] = tv
+            else:
+                merged[key] = jnp.where(condf != 0, tv, ev)
+        env.vars = merged
+
+    def _contrib(self, st, env, u, p, dyn, eff, s):
+        acc, nets, expr = st[1], st[2], st[3]
+        val = self._eval_expr(expr, env, u, p, dyn, eff, s) * env.mask
+        tgt = self._branch_nets(nets)
+        pi = self.node_idx[tgt[0]]
+        ni = self.node_idx[tgt[1]] if tgt[1] else None
+        if acc == "I":
+            env.contrib = env.contrib.at[pi].add(val)
+            if ni is not None:
+                env.contrib = env.contrib.at[ni].add(-val)
+        else:  # V contribution: branch row + current injection
+            j = self.vbranches[tgt]
+            ib = u[j]
+            env.contrib = env.contrib.at[pi].add(env.mask * ib)
+            if ni is not None:
+                env.contrib = env.contrib.at[ni].add(-env.mask * ib)
+            vb = u[pi] - (u[ni] if ni is not None else 0.0)
+            env.contrib = env.contrib.at[j].add(env.mask * (vb - 0.0) - val)
+
+    def _try_host(self, e, env, eff):
+        """Host-evaluate an expression if it only involves python values."""
+        try:
+            v = self._host_eval_env(e, env, eff)
+            return v
+        except Exception:
+            return None
+
+    def _host_eval_env(self, e, env, eff):
+        tag = e[0]
+        if tag == "num":
+            return e[1]
+        if tag == "name":
+            if e[1] in env.vars:
+                return float(env.vars[e[1]])   # tracers raise -> not host
+            if e[1] in eff:
+                try:
+                    return float(eff[e[1]])
+                except Exception:
+                    # traced parameter: fall back to its structural
+                    # (default) value — loop bounds must be static
+                    if self._ndefaults and e[1] in self._ndefaults:
+                        return self._ndefaults[e[1]]
+                    raise
+            if e[1] in _VA_CONSTANTS:
+                return _VA_CONSTANTS[e[1]]
+            raise VACompileError(e[1])
+        if tag == "bin":
+            return _host_binop(e[1], self._host_eval_env(e[2], env, eff),
+                               self._host_eval_env(e[3], env, eff))
+        if tag == "un":
+            v = self._host_eval_env(e[2], env, eff)
+            return {"-": -v, "+": v, "!": float(v == 0)}[e[1]]
+        if tag == "cond":
+            return (self._host_eval_env(e[2], env, eff)
+                    if self._host_eval_env(e[1], env, eff) != 0
+                    else self._host_eval_env(e[3], env, eff))
+        raise VACompileError(str(e))
+
+    # ---- expression evaluation (traced)
+    def _eval_expr(self, e, env, u, p, dyn, eff, s):
+        tag = e[0]
+        if tag == "num":
+            return e[1]
+        if tag == "str":
+            return e[1]
+        if tag == "name":
+            nm = e[1]
+            if nm in env.vars:
+                return env.vars[nm]
+            if nm in eff:
+                return eff[nm]
+            if nm in _VA_CONSTANTS:
+                return _VA_CONSTANTS[nm]
+            raise VACompileError(f"undefined identifier {nm!r}")
+        if tag == "index":
+            idx = self._try_host(e[2], env, eff)
+            return env.vars[(e[1], idx)]
+        if tag == "acc":
+            return self._access(e, env, u)
+        if tag == "un":
+            v = self._eval_expr(e[2], env, u, p, dyn, eff, s)
+            if e[1] == "-":
+                return -v
+            if e[1] == "+":
+                return v
+            return jnp.where(v == 0, 1.0, 0.0)
+        if tag == "bin":
+            a = self._eval_expr(e[2], env, u, p, dyn, eff, s)
+            b = self._eval_expr(e[3], env, u, p, dyn, eff, s)
+            return _traced_binop(e[1], a, b)
+        if tag == "cond":
+            c = self._eval_expr(e[1], env, u, p, dyn, eff, s)
+            t = self._eval_expr(e[2], env, u, p, dyn, eff, s)
+            f = self._eval_expr(e[3], env, u, p, dyn, eff, s)
+            return jnp.where(c != 0, t, f)
+        if tag == "call":
+            return self._call(e, env, u, p, dyn, eff, s)
+        if tag == "sysfn":
+            return self._sysfn(e, env, u, p, dyn, eff, s)
+        raise VACompileError(f"unhandled expression {e!r}")
+
+    def _access(self, e, env, u):
+        kind, nets = e[1], e[2]
+        if kind == "V":
+            if nets in self.mod.branches or (len(nets) == 1 and
+                                             nets[0] in self.mod.branches):
+                bn = nets[0]
+                pn, nn = self.mod.branches[bn]
+                pi = self.node_idx[pn]
+                v = u[pi]
+                if nn is not None:
+                    v = v - u[self.node_idx[nn]]
+                return v
+            v = u[self.node_idx[nets[0]]]
+            if len(nets) > 1:
+                v = v - u[self.node_idx[nets[1]]]
+            return v
+        # I() access
+        if len(nets) == 1 and nets[0] in self.mod.branches:
+            pn, nn = self.mod.branches[nets[0]]
+            key = (pn, nn)
+        else:
+            key = self._branch_nets(nets)
+        if key in self.vbranches:
+            return u[self.vbranches[key]]
+        raise VACompileError(
+            f"I({','.join(nets)}) access requires a voltage-contributed "
+            f"branch")
+
+    def _call(self, e, env, u, p, dyn, eff, s):
+        fn = e[1]
+        if fn == "ddt":
+            x = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+            return s * x
+        if fn in ("idt", "idtmod"):
+            j = self.idt_sites[id(e)]
+            x = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+            # row j: d/dt y - x = 0 stamped via contributions
+            env.contrib = env.contrib.at[j].add(
+                env.mask * (s * u[j] - x))
+            return u[j]
+        if fn == "limexp":
+            return _limexp(self._eval_expr(e[2][0], env, u, p, dyn, eff, s))
+        if fn == "white_noise":
+            psd = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+            env.noise_acc.append((id(e), psd * env.mask, 0.0))
+            return jnp.zeros(())
+        if fn == "flicker_noise":
+            psd = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+            ex = self._eval_expr(e[2][1], env, u, p, dyn, eff, s) \
+                if len(e[2]) > 1 else 1.0
+            env.noise_acc.append((id(e), psd * env.mask, ex))
+            return jnp.zeros(())
+        if fn == "ddx":
+            # ddx(expr, V(node)): partial derivative via jax.grad on a
+            # sub-evaluation w.r.t. that node voltage
+            inner, wrt = e[2][0], e[2][1]
+            if wrt[0] != "acc":
+                raise VACompileError("ddx needs an access-function arg")
+            ni = self.node_idx[wrt[2][0]]
+
+            def f(uv):
+                u2 = u.at[ni].set(uv)
+                return self._eval_expr(inner, _Env(self, self.n_local), u2,
+                                       p, dyn, eff, 0.0)
+            return jax.grad(f)(u[ni])
+        if fn in self.mod.functions:
+            return self._user_fn(fn, e[2], env, u, p, dyn, eff, s)
+        args = [self._eval_expr(a, env, u, p, dyn, eff, s) for a in e[2]]
+        if fn in _F1 and len(args) == 1:
+            return _F1[fn](args[0])
+        if fn in _F2 and len(args) == 2:
+            return _F2[fn](*args)
+        if fn == "analysis":
+            kind = e[2][0][1] if e[2] and e[2][0][0] == "str" else ""
+            if kind in ("static", "dc"):
+                return jnp.where(dyn.mode == MODE_DCOP, 1.0, 0.0)
+            if kind in ("tran",):
+                return jnp.where(dyn.mode == MODE_TRAN, 1.0, 0.0)
+            if kind in ("noise", "ac", "smsig"):
+                return jnp.where(dyn.mode == MODE_AC, 1.0, 0.0)
+            return jnp.zeros(())
+        raise VACompileError(f"unknown function {fn!r}/{len(e[2])}")
+
+    def _user_fn(self, fname, arg_exprs, env, u, p, dyn, eff, s):
+        f = self.mod.functions[fname]
+        args = [self._eval_expr(a, env, u, p, dyn, eff, s)
+                for a in arg_exprs]
+        sub = _Env(self.__class__ and self, self.n_local)
+        sub.vars = dict(zip(f.inputs, args))
+        sub.vars[fname] = 0.0
+        sub.mask = env.mask
+        sub.contrib = env.contrib
+        for st in f.body:
+            self._exec(st, sub, u, p, dyn, eff, s)
+        env.contrib = sub.contrib
+        return sub.vars.get(fname, 0.0)
+
+    def _sysfn(self, e, env, u, p, dyn, eff, s):
+        name = e[1]
+        if name == "$temperature":
+            return dyn.temp
+        if name == "$vt":
+            if e[2]:
+                t = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+                return KB * t / QE
+            return dyn.vt
+        if name == "$abstime":
+            return dyn.time
+        if name == "$param_given":
+            pn = e[2][0][1]
+            return p[pn + "__given"]
+        if name == "$simparam":
+            key = e[2][0][1] if e[2] and e[2][0][0] == "str" else ""
+            default = (self._eval_expr(e[2][1], env, u, p, dyn, eff, s)
+                       if len(e[2]) > 1 else 0.0)
+            if key == "gmin":
+                return dyn.gmin
+            if key == "sourceScaleFactor":
+                return dyn.srcfact
+            return default
+        if name == "$limit":
+            # unlimited evaluation (limiting state arrives a later round)
+            return self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+        if name in ("$strobe", "$display", "$debug", "$warning", "$error",
+                    "$finish", "$fatal", "$stop"):
+            return jnp.zeros(())
+        if name == "$mfactor":
+            return 1.0
+        raise VACompileError(f"unknown system function {name!r}")
+
+
+_VA_CONSTANTS = {
+    "M_PI": math.pi, "M_TWO_PI": 2 * math.pi, "M_PI_2": math.pi / 2,
+    "M_PI_4": math.pi / 4, "M_1_PI": 1 / math.pi, "M_2_PI": 2 / math.pi,
+    "M_SQRT2": math.sqrt(2), "M_SQRT1_2": math.sqrt(0.5),
+    "M_E": math.e, "M_LOG2E": math.log2(math.e),
+    "M_LOG10E": math.log10(math.e), "M_LN2": math.log(2),
+    "M_LN10": math.log(10),
+    "P_Q": QE, "P_K": KB, "P_H": 6.62607015e-34,
+    "P_EPS0": 8.8541878128e-12, "P_U0": 4e-7 * math.pi,
+    "P_C": 299792458.0, "P_CELSIUS0": 273.15,
+}
+
+
+def _host_binop(op, a, b):
+    return {
+        "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
+        "/": lambda: a / b, "%": lambda: math.fmod(a, b),
+        "**": lambda: a ** b,
+        "<": lambda: float(a < b), ">": lambda: float(a > b),
+        "<=": lambda: float(a <= b), ">=": lambda: float(a >= b),
+        "==": lambda: float(a == b), "!=": lambda: float(a != b),
+        "&&": lambda: float(a != 0 and b != 0),
+        "||": lambda: float(a != 0 or b != 0),
+    }[op]()
+
+
+def _traced_binop(op, a, b):
+    table = {
+        "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
+        "/": lambda: a / b, "%": lambda: jnp.fmod(a, b),
+        "**": lambda: jnp.power(a, b),
+        "<": lambda: jnp.where(a < b, 1.0, 0.0),
+        ">": lambda: jnp.where(a > b, 1.0, 0.0),
+        "<=": lambda: jnp.where(a <= b, 1.0, 0.0),
+        ">=": lambda: jnp.where(a >= b, 1.0, 0.0),
+        "==": lambda: jnp.where(a == b, 1.0, 0.0),
+        "!=": lambda: jnp.where(a != b, 1.0, 0.0),
+        "&&": lambda: jnp.where((a != 0) & (b != 0), 1.0, 0.0),
+        "||": lambda: jnp.where((a != 0) | (b != 0), 1.0, 0.0),
+    }
+    return table[op]()
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+def compile_va_module(mod: VAModule) -> DeviceModel:
+    """VAModule -> DeviceModel (the `make_mna_device` analogue)."""
+    comp = VACompiler(mod)
+    internals = []
+    for nm in mod.internal_nodes:
+        internals.append((nm, CLASS_V))
+    for (pn, nn), j in sorted(comp.vbranches.items(),
+                              key=lambda kv: kv[1]):
+        internals.append((f"i_{pn}_{nn}" if nn else f"i_{pn}", CLASS_I))
+    for sid, j in sorted(comp.idt_sites.items(), key=lambda kv: kv[1]):
+        internals.append((f"idt{j}", CLASS_V))
+    noise_pack = comp.make_noise()
+    noise_fn, flicker_fn, noise_pairs = (None, None, ())
+    if noise_pack[0] is not None:
+        noise_fn, flicker_fn, noise_pairs = noise_pack
+
+    # operating-point variables: (* desc/units *)-attributed module vars
+    # (reference is_op_var_attributed, `vasim.jl:156-164`, `:3036-3056`)
+    op_names = [nm for nm, (ty, attrs) in mod.variables.items()
+                if attrs and ("desc" in attrs or "units" in attrs)]
+    opvars_fn = None
+    if op_names:
+        def opvars_fn(u, p, dyn):
+            eff = comp.effective_params(p, dyn)
+            env = _Env(comp, comp.n_local)
+            for st in mod.analog:
+                comp._exec(st, env, u, p, dyn, eff, 0.0)
+            return {nm: env.vars.get(nm, 0.0) for nm in op_names}
+
+    return DeviceModel(
+        name=f"va:{mod.name}",
+        terminals=tuple(comp.ports),
+        residual=comp.make_residual(),
+        internals=tuple(internals),
+        defaults=comp.numeric_defaults(),
+        noise=noise_fn,
+        flicker=flicker_fn,
+        noise_pairs=noise_pairs,
+        opvars=opvars_fn,
+    )
+
+
+def compile_va(text: str, include_dirs=()) -> dict:
+    """VA source -> {module_name: DeviceModel}."""
+    mods = parse_va(text, include_dirs)
+    return {m.name: compile_va_module(m) for m in mods}
+
+
+def load_va_file(path: str) -> dict:
+    import os
+    with open(path) as fh:
+        text = fh.read()
+    return compile_va(text, include_dirs=[os.path.dirname(
+        os.path.abspath(path))])

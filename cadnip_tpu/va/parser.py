@@ -1,0 +1,630 @@
+"""Verilog-A parser: preprocessed text -> module ASTs.
+
+Grammar scope mirrors what the reference's VA front end consumes
+(NyanVerilogAParser + `src/vasim.jl`): module/endmodule with port
+directions, electrical/custom disciplines, branch declarations, parameter
+real/integer (with range qualifiers, parsed and kept), real/integer
+variables (with optional (* desc *) attributes -> op-vars), analog blocks
+with begin/end, if/else, for, while, repeat, case, contribution statements
+(`V(a,b) <+ expr`, `I(a) <+ expr`), procedural assignments, analog
+functions, and system tasks ($strobe/$display ignored at runtime).
+
+Expressions reuse a Pratt parser over VA tokens: all arithmetic/logical
+ops, ternary, function calls, access functions V()/I(), analog operators
+ddt/idt/ddx/white_noise/flicker_noise/limexp/$limit/$temperature/$vt/
+$param_given/$simparam/$table_model, and number literals with VA scale
+suffixes (T G M K m u n p f a).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+VA_MAGNITUDES = {"T": 1e12, "G": 1e9, "M": 1e6, "K": 1e3, "k": 1e3,
+                 "m": 1e-3, "u": 1e-6, "n": 1e-9, "p": 1e-12, "f": 1e-15,
+                 "a": 1e-18}
+
+
+class VAParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<attr>\(\*.*?\*\))
+  | (?P<num>(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?[TGMKkmunpfa]?(?![\w.]))
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<sysid>\$[a-zA-Z_][\w$]*)
+  | (?P<id>[a-zA-Z_][\w$]*)
+  | (?P<op><\+|<<<|>>>|<<|>>|<=|>=|==|!=|&&|\|\||\*\*|[-+*/%<>!&|^~?:;,.()\[\]{}=@#])
+""", re.X | re.S)
+
+KEYWORDS = {
+    "module", "endmodule", "macromodule", "analog", "begin", "end", "if",
+    "else", "for", "while", "repeat", "case", "casex", "casez", "endcase",
+    "default", "parameter", "localparam", "real", "integer", "string",
+    "inout", "input", "output", "electrical", "branch", "from", "exclude",
+    "function", "endfunction", "nature", "endnature", "discipline",
+    "enddiscipline", "aliasparam", "genvar", "ground", "inf",
+}
+
+
+def tokenize(text: str):
+    toks = []
+    line = 1
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise VAParseError(f"line {line}: bad character {text[i]!r}")
+        line += text.count("\n", i, m.end())
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append((kind, m.group(0), line))
+    toks.append(("eof", "", line))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+@dataclasses.dataclass
+class VAModule:
+    name: str
+    ports: list                       # [(name, direction)]
+    disciplines: dict                 # net name -> discipline
+    parameters: dict                  # name -> VAParam
+    aliases: dict                     # alias -> target param
+    variables: dict                   # name -> ('real'|'integer', attrs)
+    branches: dict                    # name -> (p, n)
+    internal_nodes: list              # electrical nets not in ports
+    analog: list                      # statements
+    functions: dict                   # name -> VAFunction
+
+
+@dataclasses.dataclass
+class VAParam:
+    name: str
+    ptype: str                        # 'real' | 'integer' | 'string'
+    default: tuple                    # expression AST
+    ranges: list                      # [(op, lo, hi)] informational
+    units: str = ""
+    desc: str = ""
+
+
+@dataclasses.dataclass
+class VAFunction:
+    name: str
+    ftype: str
+    inputs: list
+    locals: dict
+    body: list
+
+
+# statements are tuples:
+# ('contrib', access('V'|'I'), (p[,n]), expr)
+# ('assign', name_or_indexed, expr)
+# ('if', cond, then_stmts, else_stmts)
+# ('for', init_stmt, cond, step_stmt, body)
+# ('while', cond, body)
+# ('repeat', count_expr, body)
+# ('case', expr, [(matches|None, stmts)])
+# ('sys', name, args)   e.g. $strobe
+# ('block', stmts)
+# expressions are tuples like the SPICE ones:
+# ('num', v) ('name', n) ('call', fn, args) ('acc', 'V'|'I', nets)
+# ('sysfn', name, args) ('bin', op, a, b) ('un', op, a) ('cond', c, t, f)
+# ('str', s)
+
+
+class Parser:
+    def __init__(self, toks, src=""):
+        self.toks = toks
+        self.i = 0
+
+    # ---- token helpers
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at(self, val):
+        return self.peek()[1] == val
+
+    def accept(self, val):
+        if self.at(val):
+            return self.next()
+        return None
+
+    def expect(self, val):
+        t = self.next()
+        if t[1] != val:
+            raise VAParseError(
+                f"line {t[2]}: expected {val!r}, got {t[1]!r}")
+        return t
+
+    def ident(self):
+        t = self.next()
+        if t[0] != "id":
+            raise VAParseError(f"line {t[2]}: expected identifier, "
+                               f"got {t[1]!r}")
+        return t[1]
+
+    # ---- top level
+    def parse_file(self):
+        mods = []
+        while self.peek()[0] != "eof":
+            t = self.peek()
+            if t[1] in ("module", "macromodule"):
+                mods.append(self.module())
+            elif t[1] == "nature":
+                self.skip_until("endnature")
+            elif t[1] == "discipline":
+                self.skip_until("enddiscipline")
+            else:
+                self.next()   # stray tokens between modules
+        return mods
+
+    def skip_until(self, end):
+        while self.peek()[0] != "eof" and not self.at(end):
+            self.next()
+        self.accept(end)
+
+    def module(self) -> VAModule:
+        self.next()  # module
+        name = self.ident()
+        m = VAModule(name=name, ports=[], disciplines={}, parameters={},
+                     aliases={}, variables={}, branches={},
+                     internal_nodes=[], analog=[], functions={})
+        if self.accept("("):
+            while not self.at(")"):
+                t = self.next()
+                if t[0] == "id" and t[1] not in ("input", "output", "inout",
+                                                 "electrical"):
+                    m.ports.append([t[1], "inout"])
+                self.accept(",")
+            self.expect(")")
+        self.accept(";")
+        port_names = {p[0] for p in m.ports}
+        while not self.at("endmodule") and self.peek()[0] != "eof":
+            self.module_item(m, port_names)
+        self.expect("endmodule")
+        return m
+
+    def module_item(self, m: VAModule, port_names):
+        t = self.peek()
+        attrs = ""
+        if t[0] == "attr":
+            attrs = self.next()[1]
+            t = self.peek()
+        w = t[1]
+        if w in ("input", "output", "inout"):
+            self.next()
+            while True:
+                nm = self.ident()
+                for p in m.ports:
+                    if p[0] == nm:
+                        p[1] = w
+                if not self.accept(","):
+                    break
+            self.expect(";")
+        elif w == "electrical" or (t[0] == "id" and w not in KEYWORDS and
+                                   self.peek(1)[0] == "id" and
+                                   self._looks_discipline(w)):
+            disc = self.next()[1]
+            while True:
+                nm = self.ident()
+                # array ranges on nodes: electrical [0:3] ... (skip)
+                m.disciplines[nm] = disc
+                if nm not in port_names:
+                    m.internal_nodes.append(nm)
+                if not self.accept(","):
+                    break
+            self.expect(";")
+        elif w == "branch":
+            self.next()
+            self.expect("(")
+            p = self.ident()
+            n = self.ident() if self.accept(",") else None
+            self.expect(")")
+            bn = self.ident()
+            m.branches[bn] = (p, n)
+            while self.accept(","):
+                bn = self.ident()
+                m.branches[bn] = (p, n)
+            self.expect(";")
+        elif w in ("parameter", "localparam"):
+            self.next()
+            ptype = "real"
+            if self.peek()[1] in ("real", "integer", "string"):
+                ptype = self.next()[1]
+            while True:
+                nm = self.ident()
+                self.expect("=")
+                default = self.expr()
+                ranges = []
+                while self.peek()[1] in ("from", "exclude"):
+                    op = self.next()[1]
+                    ranges.append((op, self.range_spec(op)))
+                units, desc = _attr_info(attrs)
+                m.parameters[nm] = VAParam(nm, ptype, default, ranges,
+                                           units, desc)
+                if not self.accept(","):
+                    break
+            self.expect(";")
+        elif w == "aliasparam":
+            self.next()
+            alias = self.ident()
+            self.expect("=")
+            target = self.ident()
+            self.expect(";")
+            m.aliases[alias] = target
+        elif w in ("real", "integer", "string"):
+            self.next()
+            while True:
+                nm = self.ident()
+                # array decl: real x[0:5] — record and skip dims
+                if self.accept("["):
+                    while not self.at("]"):
+                        self.next()
+                    self.expect("]")
+                m.variables[nm] = (w, attrs)
+                if self.accept("="):
+                    self.expr()   # initializer (rare) — ignored
+                if not self.accept(","):
+                    break
+            self.expect(";")
+        elif w == "analog":
+            self.next()
+            if self.peek()[1] == "function":
+                m.functions.update([self.function()])
+            else:
+                m.analog.append(self.statement())
+        elif w == "genvar":
+            self.next()
+            while self.peek()[1] != ";":
+                self.next()
+            self.expect(";")
+        else:
+            raise VAParseError(f"line {t[2]}: unexpected {w!r} in module")
+
+    def _looks_discipline(self, w):
+        return w in ("electrical", "optical", "thermal", "kinematic",
+                     "rotational", "magnetic", "voltage", "current")
+
+    def range_spec(self, op):
+        # from [lo:hi] / from (lo:hi) / exclude val
+        if self.peek()[1] in ("[", "("):
+            open_t = self.next()[1]
+            lo = self.expr()
+            self.expect(":")
+            hi = self.expr()
+            t = self.next()  # ] or )
+            return (open_t, lo, hi, t[1])
+        return ("val", self.expr())
+
+    def function(self):
+        self.expect("function")
+        ftype = "real"
+        if self.peek()[1] in ("real", "integer"):
+            ftype = self.next()[1]
+        name = self.ident()
+        self.accept(";")
+        inputs = []
+        locals_ = {}
+        while self.peek()[1] in ("input", "output", "inout", "real",
+                                 "integer"):
+            kind = self.next()[1]
+            names = [self.ident()]
+            while self.accept(","):
+                names.append(self.ident())
+            self.expect(";")
+            if kind == "input":
+                inputs.extend(names)
+            elif kind in ("real", "integer"):
+                for nm in names:
+                    locals_[nm] = kind
+        body = [self.statement()]
+        self.expect("endfunction")
+        return name, VAFunction(name, ftype, inputs, locals_, body)
+
+    # ---- statements
+    def statement(self):
+        t = self.peek()
+        if t[0] == "attr":
+            self.next()
+            t = self.peek()
+        w = t[1]
+        if w == "begin":
+            self.next()
+            if self.accept(":"):
+                self.ident()  # named block
+                # local declarations inside named blocks
+                while self.peek()[1] in ("real", "integer"):
+                    self.next()
+                    while self.peek()[1] != ";":
+                        self.next()
+                    self.expect(";")
+            stmts = []
+            while not self.at("end"):
+                stmts.append(self.statement())
+            self.expect("end")
+            return ("block", stmts)
+        if w == "if":
+            self.next()
+            self.expect("(")
+            cond = self.expr()
+            self.expect(")")
+            then = self.statement()
+            els = None
+            if self.accept("else"):
+                els = self.statement()
+            return ("if", cond, then, els)
+        if w == "for":
+            self.next()
+            self.expect("(")
+            init = self.simple_assign()
+            self.expect(";")
+            cond = self.expr()
+            self.expect(";")
+            step = self.simple_assign()
+            self.expect(")")
+            body = self.statement()
+            return ("for", init, cond, step, body)
+        if w == "while":
+            self.next()
+            self.expect("(")
+            cond = self.expr()
+            self.expect(")")
+            return ("while", cond, self.statement())
+        if w == "repeat":
+            self.next()
+            self.expect("(")
+            cnt = self.expr()
+            self.expect(")")
+            return ("repeat", cnt, self.statement())
+        if w in ("case", "casex", "casez"):
+            self.next()
+            self.expect("(")
+            sel = self.expr()
+            self.expect(")")
+            arms = []
+            while not self.at("endcase"):
+                if self.accept("default"):
+                    self.accept(":")
+                    arms.append((None, self.statement()))
+                else:
+                    matches = [self.expr()]
+                    while self.accept(","):
+                        matches.append(self.expr())
+                    self.expect(":")
+                    arms.append((matches, self.statement()))
+            self.expect("endcase")
+            return ("case", sel, arms)
+        if w == ";":
+            self.next()
+            return ("block", [])
+        if t[0] == "sysid":
+            name = self.next()[1]
+            args = []
+            if self.accept("("):
+                if not self.at(")"):
+                    args.append(self.expr())
+                    while self.accept(","):
+                        args.append(self.expr())
+                self.expect(")")
+            self.expect(";")
+            return ("sys", name, args)
+        if w == "@":
+            # event control @(initial_step) stmt — treat as always-run
+            self.next()
+            self.expect("(")
+            depth = 1
+            while depth:
+                tt = self.next()[1]
+                depth += tt == "("
+                depth -= tt == ")"
+            return ("event", self.statement())
+        # access contribution or assignment
+        if t[0] == "id" and self.peek(1)[1] == "(" and t[1] in ("V", "I"):
+            # could be contribution V(a,b) <+ ... or indirect assignment
+            save = self.i
+            acc = self.access()
+            if self.accept("<+"):
+                rhs = self.expr()
+                self.expect(";")
+                return ("contrib", acc[1], acc[2], rhs)
+            self.i = save
+        st = self.simple_assign()
+        self.expect(";")
+        return st
+
+    def simple_assign(self):
+        nm = self.ident()
+        if self.accept("["):
+            idx = self.expr()
+            self.expect("]")
+            self.expect("=")
+            return ("assign_idx", nm, idx, self.expr())
+        self.expect("=")
+        return ("assign", nm, self.expr())
+
+    def access(self):
+        kind = self.ident()       # V or I
+        self.expect("(")
+        nets = [self.ident()]
+        if self.accept(","):
+            nets.append(self.ident())
+        self.expect(")")
+        return ("acc", kind, tuple(nets))
+
+    # ---- expressions (Pratt)
+    def expr(self):
+        return self.ternary()
+
+    def ternary(self):
+        c = self.lor()
+        if self.accept("?"):
+            t = self.ternary()
+            self.expect(":")
+            f = self.ternary()
+            return ("cond", c, t, f)
+        return c
+
+    def lor(self):
+        a = self.land()
+        while self.at("||"):
+            self.next()
+            a = ("bin", "||", a, self.land())
+        return a
+
+    def land(self):
+        a = self.bor()
+        while self.at("&&"):
+            self.next()
+            a = ("bin", "&&", a, self.bor())
+        return a
+
+    def bor(self):
+        a = self.bxor()
+        while self.at("|") and self.peek(1)[1] != "|":
+            self.next()
+            a = ("bin", "|", a, self.bxor())
+        return a
+
+    def bxor(self):
+        a = self.band()
+        while self.at("^"):
+            self.next()
+            a = ("bin", "^", a, self.band())
+        return a
+
+    def band(self):
+        a = self.eq()
+        while self.at("&") and self.peek(1)[1] != "&":
+            self.next()
+            a = ("bin", "&", a, self.eq())
+        return a
+
+    def eq(self):
+        a = self.rel()
+        while self.peek()[1] in ("==", "!="):
+            op = self.next()[1]
+            a = ("bin", op, a, self.rel())
+        return a
+
+    def rel(self):
+        a = self.shift()
+        while self.peek()[1] in ("<", ">", "<=", ">="):
+            op = self.next()[1]
+            a = ("bin", op, a, self.shift())
+        return a
+
+    def shift(self):
+        a = self.add()
+        while self.peek()[1] in ("<<", ">>"):
+            op = self.next()[1]
+            a = ("bin", op, a, self.add())
+        return a
+
+    def add(self):
+        a = self.mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            a = ("bin", op, a, self.mul())
+        return a
+
+    def mul(self):
+        a = self.unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            a = ("bin", op, a, self.unary())
+        return a
+
+    def unary(self):
+        t = self.peek()
+        if t[1] in ("-", "+", "!", "~"):
+            self.next()
+            return ("un", t[1], self.unary())
+        return self.power()
+
+    def power(self):
+        a = self.atom()
+        if self.at("**"):
+            self.next()
+            return ("bin", "**", a, self.unary())
+        return a
+
+    def atom(self):
+        t = self.next()
+        kind, val = t[0], t[1]
+        if kind == "num":
+            return ("num", parse_va_number(val))
+        if kind == "str":
+            return ("str", val[1:-1])
+        if val == "(":
+            e = self.expr()
+            self.expect(")")
+            return e
+        if kind == "sysid":
+            args = []
+            if self.accept("("):
+                if not self.at(")"):
+                    args.append(self.expr())
+                    while self.accept(","):
+                        args.append(self.expr())
+                self.expect(")")
+            return ("sysfn", val, args)
+        if kind == "id":
+            if val == "inf":
+                return ("num", float("inf"))
+            if self.at("("):
+                if val in ("V", "I"):
+                    self.i -= 1
+                    return self.access()
+                self.next()
+                args = []
+                if not self.at(")"):
+                    args.append(self.expr())
+                    while self.accept(","):
+                        args.append(self.expr())
+                self.expect(")")
+                return ("call", val, args)
+            if self.at("["):
+                self.next()
+                idx = self.expr()
+                self.expect("]")
+                return ("index", val, idx)
+            return ("name", val)
+        raise VAParseError(f"line {t[2]}: unexpected token {val!r}")
+
+
+def parse_va_number(tok: str) -> float:
+    if tok and tok[-1] in VA_MAGNITUDES and not tok[-1].isdigit():
+        return float(tok[:-1]) * VA_MAGNITUDES[tok[-1]]
+    return float(tok)
+
+
+def _attr_info(attrs: str):
+    units = desc = ""
+    if attrs:
+        mu = re.search(r'units\s*=\s*"([^"]*)"', attrs)
+        md = re.search(r'desc\s*=\s*"([^"]*)"', attrs)
+        units = mu.group(1) if mu else ""
+        desc = md.group(1) if md else ""
+    return units, desc
+
+
+def parse_va(text: str, include_dirs=()):
+    """Preprocess + parse VA source -> list of VAModule."""
+    from .preproc import Preprocessor
+
+    pp = Preprocessor(include_dirs)
+    clean = pp.process(text)
+    return Parser(tokenize(clean)).parse_file()
