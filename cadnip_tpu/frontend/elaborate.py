@@ -128,10 +128,29 @@ class Analysis:
 
 class Elaborator:
     def __init__(self, *, include_dirs=(), section=None, spec=None,
-                 dialect="spice"):
+                 dialect="spice", rng=None):
         self.dialect = dialect
         self.include_dirs = list(include_dirs)
         self.section = section          # .lib section selection
+        # Monte-Carlo hook: agauss/gauss/unif netlist functions sample from
+        # this RNG; None -> nominal values (reference SpectreEnvironment
+        # agauss via spec.rng, `src/spectre_env.jl:71-171`)
+        self.rng = rng
+        self.expr_funcs = {
+            "agauss": lambda nom, avar, sig=1.0:
+                nom + (self.rng.normal(0.0, avar / sig)
+                       if self.rng is not None else 0.0),
+            "gauss": lambda nom, rvar, sig=1.0:
+                nom * (1.0 + (self.rng.normal(0.0, rvar / sig)
+                              if self.rng is not None else 0.0)),
+            "aunif": lambda nom, avar:
+                nom + (self.rng.uniform(-avar, avar)
+                       if self.rng is not None else 0.0),
+            "unif": lambda nom, rvar:
+                nom * (1.0 + (self.rng.uniform(-rvar, rvar)
+                              if self.rng is not None else 0.0)),
+            "temper": lambda: self.temp if self.temp is not None else 27.0,
+        }
         self.analyses: list[Analysis] = []
         self.options: dict = {}
         self.temp: Optional[float] = None
@@ -158,9 +177,11 @@ class Elaborator:
                 num = parse_number(val)
             if num is not None:
                 return num
-            return eval_expr(parse_expr(val), _ScopeEnv(scope, extra))
+            return eval_expr(parse_expr(val), _ScopeEnv(scope, extra),
+                             funcs=self.expr_funcs)
         if kind == "expr":
-            return eval_expr(parse_expr(val), _ScopeEnv(scope, extra))
+            return eval_expr(parse_expr(val), _ScopeEnv(scope, extra),
+                             funcs=self.expr_funcs)
         if kind == "group" and len(val) == 1:
             return self.value_of(val[0], scope, extra)
         raise ElabError(f"expected a value, got {field!r}")
@@ -332,7 +353,8 @@ class Elaborator:
                 d.difference_update(ready)
         env = _ScopeEnv(scope)
         for k in order:
-            scope.param_vals[k] = eval_expr(exprs[k], env)
+            scope.param_vals[k] = eval_expr(exprs[k], env,
+                                            funcs=self.expr_funcs)
 
     # --------------------------------------------- pass 3: instantiation
     def build(self, elements, scope: Scope, prefix: str, node_map: dict):
@@ -972,7 +994,7 @@ def _make_bsource_model(name, ast, is_v, scope, flat_node, out_nodes,
 
 def elaborate_netlist(source, *, include_dirs=(), section=None,
                       spec: SimSpec | None = None, title=None,
-                      dialect="auto"):
+                      dialect="auto", rng=None):
     """SPICE/Spectre text (or a parsed Netlist) -> (Circuit, Elaborator).
 
     The Elaborator carries the parsed analysis cards, .options and .temp.
@@ -990,7 +1012,7 @@ def elaborate_netlist(source, *, include_dirs=(), section=None,
         nl = (parse_spectre(source) if dialect == "spectre"
               else parse_netlist(source))
     el = Elaborator(include_dirs=include_dirs, section=section,
-                    dialect=dialect)
+                    dialect=dialect, rng=rng)
     root = Scope()
     elements = el.collect(nl.cards, root)
     el.eval_params(root)
@@ -1130,6 +1152,35 @@ def simulate(source, *, include_dirs=(), section=None,
         results[an.kind] = sol
         results["all"].append((an.kind, sol))
     return results
+
+
+def montecarlo_elaborate(source, n: int, seed: int = 0, *,
+                         include_dirs=(), section=None,
+                         spec: SimSpec | None = None):
+    """Monte-Carlo over netlist-level statistical expressions
+    (agauss/gauss/unif): elaborate the netlist n times with sampled
+    values and stack the resulting parameter pytrees into one batched
+    pytree, ready for the vmapped solvers.
+
+    Returns (cc, batched_params, axes) where cc is the nominal compiled
+    circuit. This is the vmap answer to the reference's per-sample alter
+    loop (SURVEY §3.4).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cir0, el0 = elaborate_netlist(source, include_dirs=include_dirs,
+                                  section=section)
+    cc = cir0.compile(spice_spec(el0, spec))
+    plist = []
+    for k in range(n):
+        rng = np.random.default_rng([seed, k])
+        cir, _ = elaborate_netlist(source, include_dirs=include_dirs,
+                                   section=section, rng=rng)
+        plist.append(cir.compile(spice_spec(el0, spec)).params0())
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
+    axes = jax.tree.map(lambda _: 0, plist[0])
+    return cc, batched, axes
 
 
 def _run_spectre_analysis(cc, el, an):

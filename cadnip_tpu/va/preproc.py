@@ -23,6 +23,21 @@ _BUILTIN_TICKS = {
     # `ifdef-controlled std macros commonly tested by models
     "__VAMS_ENABLE__": "1",
     "__VAMS_COMPACT_MODELING__": "1",
+    # constants.vams physical constants (usable as `P_K etc. without the
+    # include, mirroring the reference's implicit disciplines/constants)
+    "P_Q": "1.602176634e-19", "P_K": "1.380649e-23",
+    "P_H": "6.62607015e-34", "P_EPS0": "8.8541878128e-12",
+    "P_U0": "1.25663706212e-6", "P_C": "299792458.0",
+    "P_CELSIUS0": "273.15",
+    "M_PI": "3.14159265358979323846", "M_TWO_PI": "6.28318530717958647652",
+    "M_PI_2": "1.57079632679489661923", "M_PI_4": "0.78539816339744830962",
+    "M_1_PI": "0.31830988618379067154", "M_2_PI": "0.63661977236758134308",
+    "M_SQRT2": "1.41421356237309504880",
+    "M_SQRT1_2": "0.70710678118654752440",
+    "M_E": "2.71828182845904523536", "M_LN2": "0.69314718055994530942",
+    "M_LN10": "2.30258509299404568402",
+    "M_LOG2E": "1.44269504088896340736",
+    "M_LOG10E": "0.43429448190325182765",
 }
 
 
