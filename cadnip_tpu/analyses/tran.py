@@ -111,8 +111,8 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                      method: str | None = None, integ: str = "trap"):
     """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
     hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced."""
-    assemble = make_assembler(cc)
-    newton_t = make_tran_newton(cc, assemble=assemble, method=method)
+    # backend-appropriate assembler (dense or BBD) chosen inside
+    newton_t = make_tran_newton(cc, method=method)
     atol = abstol_vector(cc)
     spec = cc.spec
     n = cc.n
@@ -316,7 +316,18 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
         runner = make_tran_runner(cc, n_save, max_steps, method=method,
                                   integ=integ)
         rhs = make_rhs_assembler(cc)
-        assemble = make_assembler(cc)
+        if cc.bbd is not None:
+            from ..mna.bbd_assemble import make_bbd_assembler
+            from ..ops.bbd import global_row_sums
+            assemble = make_bbd_assembler(cc, cc.bbd)
+
+            def row_mask(C0):
+                return global_row_sums(cc.bbd, C0) > 0.0
+        else:
+            assemble = make_assembler(cc)
+
+            def row_mask(C0):
+                return jnp.sum(jnp.abs(C0), axis=1) > 0.0
 
         def full(x0, params, dyn0, t0_, tstop_, h0, hmax, hmin, bp_times,
                  save_ts):
@@ -327,7 +338,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
             f0, q0 = rhs(xp, params, dyn_op)
             qdot0 = -f0  # consistent initialization: f + dq/dt = 0
             _, _, _, C0, _ = assemble(xp, lim0, params, dyn_op)
-            diff_mask = jnp.sum(jnp.abs(C0), axis=1) > 0.0
+            diff_mask = row_mask(C0)
             return runner(x0, lim0, q0, qdot0, params, dyn0, t0_, tstop_,
                           h0, hmax, hmin, bp_times, save_ts, diff_mask)
 

@@ -1,0 +1,167 @@
+"""Assembly into block-bordered-diagonal form for large circuits.
+
+Same gather -> vmapped eval -> scatter pipeline as `assemble.py`, but the
+Jacobian values scatter into the BBD tensors (D blocks, E/F coupling
+strips, border matrix B) instead of a dense [n, n] matrix. The COO->slot
+mapping is computed host-side at elaboration (the analogue of the
+reference's COO->nzval maps, `src/mna/precompile.jl:253`), so the traced
+code performs four flat scatter-adds per device group.
+
+Ground and cross-tensor entries route to trailing trash slots.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE
+from ..ops.bbd import BBDPartition, partition_graph
+from .assemble import _group_eval
+from .devices import CLASS_V
+from .spec import DynSpec
+from .structure import CompiledCircuit
+
+
+def partition_circuit(cc: CompiledCircuit, block_size: int = 256
+                      ) -> BBDPartition:
+    """Partition a compiled circuit's unknown-connectivity graph."""
+    edges = []
+    device_unknowns = []
+    for g in cc.groups:
+        for row in g.conn:
+            idx = [int(i) for i in row if i < cc.n]
+            device_unknowns.append(idx)
+            for a in range(len(idx)):
+                for b in range(a + 1, len(idx)):
+                    edges.append((idx[a], idx[b]))
+    part = partition_graph(cc.n, edges, block_size=block_size,
+                           device_unknowns=device_unknowns)
+    return part
+
+
+def _dest(part: BBDPartition, gi: int, gj: int, dev_block: int):
+    """(tensor_id, flat_index) for a stamp at global (gi, gj).
+    tensor ids: 0=D, 1=E, 2=F, 3=B; flat index into the flattened tensor
+    (each tensor gets one trailing trash slot)."""
+    K, bs, nb, nbl = part.K, part.bs, part.nb, part.nbl
+    n = part.n
+    if gi >= n or gj >= n:
+        return 0, K * bs * bs  # ground -> D trash
+    bi = part.block_of[gi]
+    bj = part.block_of[gj]
+    li = part.local_of[gi]
+    lj = part.local_of[gj]
+    if bi >= 0 and bj >= 0:
+        if bi != bj:
+            raise AssertionError("cross-block stamp (promotion failed)")
+        return 0, (bi * bs + li) * bs + lj
+    if bi >= 0 and bj < 0:
+        pos = np.searchsorted(part.bmap[bi], lj)
+        if pos >= nbl or part.bmap[bi, pos] != lj:
+            raise AssertionError("border slot missing from bmap")
+        return 1, (bi * bs + li) * nbl + pos
+    if bi < 0 and bj >= 0:
+        pos = np.searchsorted(part.bmap[bj], li)
+        if pos >= nbl or part.bmap[bj, pos] != li:
+            raise AssertionError("border slot missing from bmap")
+        return 2, (bj * nbl + pos) * bs + lj
+    return 3, li * (nb + 1) + lj
+
+
+def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
+    """Build assemble(x_pad, lim, params, dyn) ->
+    (F, Q, (GD,GE,GF,GB), (CD,CE,CF,CB), lim_new)."""
+    n = cc.n
+    K, bs, nb, nbl = part.K, part.bs, part.nb, part.nbl
+    sizes = {0: K * bs * bs, 1: K * bs * nbl, 2: K * nbl * bs,
+             3: (nb + 1) * (nb + 1)}
+    consts = []
+    lim_off = 0
+    for g in cc.groups:
+        conn = jnp.asarray(g.conn, jnp.int32)
+        nl = g.model.n_local
+        idx = {t: np.full((g.n_inst, nl, nl), sizes[t], np.int64)
+               for t in range(4)}
+        for si in range(g.n_inst):
+            row = g.conn[si]
+            # device block: the block of its interior unknowns
+            dev_block = -1
+            for gidx in row:
+                if gidx < n and part.block_of[gidx] >= 0:
+                    dev_block = part.block_of[gidx]
+                    break
+            for a in range(nl):
+                for b in range(nl):
+                    t, flat = _dest(part, int(row[a]), int(row[b]),
+                                    dev_block)
+                    idx[t][si, a, b] = flat
+        sl = None
+        if g.model.limit is not None:
+            size = g.conn.size
+            sl = (lim_off, lim_off + size, g.conn.shape)
+            lim_off += size
+        consts.append((g.model, conn,
+                       {t: jnp.asarray(v.reshape(-1), jnp.int32)
+                        for t, v in idx.items()}, sl))
+    n_lim = lim_off
+    vnode_idx = np.where(cc.classes == CLASS_V)[0]
+    # gshunt diagonal destinations
+    gsh = {t: [] for t in range(4)}
+    for i in vnode_idx:
+        t, flat = _dest(part, int(i), int(i), -1)
+        gsh[t].append(flat)
+    gsh = {t: jnp.asarray(v, jnp.int32) for t, v in gsh.items() if v}
+    vnode_j = jnp.asarray(vnode_idx, jnp.int32)
+
+    def init_lim(x_pad):
+        if n_lim == 0:
+            return jnp.zeros(0, DTYPE)
+        parts = []
+        for model, conn, _, sl in consts:
+            if sl is not None:
+                parts.append(x_pad[conn].reshape(-1))
+        return jnp.concatenate(parts)
+
+    def assemble(x_pad, lim, params, dyn: DynSpec):
+        F = jnp.zeros(n + 1, DTYPE)
+        Q = jnp.zeros(n + 1, DTYPE)
+        Gt = {t: jnp.zeros(sizes[t] + 1, DTYPE) for t in range(4)}
+        Ct = {t: jnp.zeros(sizes[t] + 1, DTYPE) for t in range(4)}
+        lim_new = lim
+        for (model, conn, idx, sl), p in zip(consts, params):
+            u = x_pad[conn]
+            if sl is not None:
+                u_lim_prev = lim[sl[0]:sl[1]].reshape(sl[2])
+            else:
+                u_lim_prev = u
+            f, q, J, C, u_eval = jax.vmap(
+                partial(_group_eval, model), in_axes=(0, 0, 0, None)
+            )(u, u_lim_prev, p, dyn)
+            if sl is not None:
+                lim_new = lim_new.at[sl[0]:sl[1]].set(u_eval.reshape(-1))
+            flat = conn.reshape(-1)
+            F = F.at[flat].add(f.reshape(-1))
+            Q = Q.at[flat].add(q.reshape(-1))
+            Jf = J.reshape(-1)
+            Cf = C.reshape(-1)
+            for t in range(4):
+                Gt[t] = Gt[t].at[idx[t]].add(Jf)
+                Ct[t] = Ct[t].at[idx[t]].add(Cf)
+        F = F[:n].at[vnode_j].add(dyn.gshunt * x_pad[vnode_j])
+        for t, flats in gsh.items():
+            Gt[t] = Gt[t].at[flats].add(dyn.gshunt)
+
+        def shape(tensors):
+            return (tensors[0][:-1].reshape(K, bs, bs),
+                    tensors[1][:-1].reshape(K, bs, nbl),
+                    tensors[2][:-1].reshape(K, nbl, bs),
+                    tensors[3][:-1].reshape(nb + 1, nb + 1))
+
+        return F, Q[:n], shape(Gt), shape(Ct), lim_new
+
+    assemble.init_lim = init_lim
+    assemble.n_lim = n_lim
+    return assemble

@@ -37,19 +37,43 @@ class NewtonResult(NamedTuple):
     resnorm: jnp.ndarray     # max-abs KCL residual at the solution
 
 
+def _make_assemble_solve(cc: CompiledCircuit, assemble, method):
+    """Backend dispatch: returns (assemble, solve_J) where
+    solve_J(G_repr, C_repr, c0, rhs) solves (G + c0*C) dx = rhs for both
+    the dense and the block-bordered-diagonal representations."""
+    method = method or solve_method_for_backend()
+    if cc.bbd is not None:
+        from ..ops.bbd import make_bbd_solver
+        from .bbd_assemble import make_bbd_assembler
+        assemble = assemble or make_bbd_assembler(cc, cc.bbd)
+        bbd_solve = make_bbd_solver(cc.bbd, method)
+
+        def solve_J(G, C, c0, rhs):
+            J = tuple(g + c0 * c for g, c in zip(G, C))
+            return bbd_solve(*J, rhs)
+
+        return assemble, solve_J
+
+    assemble = assemble or make_assembler(cc)
+
+    def solve_J(G, C, c0, rhs):
+        return dense_solve(G + c0 * C, rhs, method=method)
+
+    return assemble, solve_J
+
+
 def make_newton(cc: CompiledCircuit, assemble=None, method: str | None = None):
     """Build newton(x0, params, dyn) -> NewtonResult (traced, vmappable)."""
     spec = cc.spec
-    assemble = assemble or make_assembler(cc)
-    method = method or solve_method_for_backend()
+    assemble, solve_J = _make_assemble_solve(cc, assemble, method)
     atol = abstol_vector(cc)
     is_v = jnp.asarray(cc.classes == CLASS_V)
     max_iters = spec.max_newton_iters
 
     def step(x, lim, params, dyn):
         xp = pad_state(x)
-        F, _, G, _, lim_new = assemble(xp, lim, params, dyn)
-        dx = dense_solve(G, -F, method=method)
+        F, _, G, C, lim_new = assemble(xp, lim, params, dyn)
+        dx = solve_J(G, C, 0.0, -F)
         if spec.max_dv > 0:
             dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv, spec.max_dv), dx)
         x_new = x + dx
@@ -98,8 +122,7 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
     trap: c0=2/h, rhs=c0*q_n + qdot_n). Replaces the reference's
     fast_residual!/fast_jacobian! pair (`src/mna/precompile.jl:546-618`)."""
     spec = cc.spec
-    assemble = assemble or make_assembler(cc)
-    method = method or solve_method_for_backend()
+    assemble, solve_J = _make_assemble_solve(cc, assemble, method)
     atol = abstol_vector(cc)
     is_v = jnp.asarray(cc.classes == CLASS_V)
     max_iters = spec.max_newton_iters
@@ -115,8 +138,7 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
             x, lim, it, _, _, _, _ = c
             F, Q, G, C, lim_new = assemble(pad_state(x), lim, params, dyn)
             Ft = F + c0 * Q - rhs_q
-            J = G + c0 * C
-            dx = dense_solve(J, -Ft, method=method)
+            dx = solve_J(G, C, c0, -Ft)
             if spec.max_dv > 0:
                 dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv, spec.max_dv),
                                dx)
@@ -139,53 +161,50 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
 
 def make_dc_solver(cc: CompiledCircuit, assemble=None,
                    method: str | None = None):
-    """Full DC chain: Newton -> gmin(gshunt) stepping -> source stepping,
-    entirely in lax control flow (reference `_dc_solve_with_fallbacks`,
-    `solve.jl:871-929`)."""
+    """Full DC chain: Newton -> gmin(gshunt) stepping -> source stepping
+    (reference `_dc_solve_with_fallbacks`, `solve.jl:871-929`).
+
+    Expressed as ONE lax.scan over a (gshunt, srcfact) homotopy schedule:
+    the solution is declared when any schedule entry at the *target*
+    operating conditions (gshunt == spec.gshunt, srcfact == 1) converges;
+    later entries are skipped via lax.cond. This compiles a single Newton
+    instance (the naive chain compiled 3+ Newton bodies, dominating jit
+    time) and vmaps cleanly over sweeps.
+    """
     spec = cc.spec
     newton = make_newton(cc, assemble=assemble, method=method)
 
-    # gshunt ladder: gshunt_start down to the target, log-spaced, then a
-    # final solve at the target gshunt
-    gl = np.geomspace(spec.gshunt_start, max(spec.gshunt, 1e-15),
-                      spec.gmin_steps)
-    gshunt_ladder = jnp.asarray(np.append(gl, spec.gshunt), DTYPE)
-    src_ramp = jnp.asarray(np.linspace(1.0 / spec.src_steps, 1.0,
-                                       spec.src_steps), DTYPE)
-
-    def _gmin_stepping(x0, params, dyn):
-        def body(carry, gs):
-            x, all_ok = carry
-            r = newton(x, params, dyn._replace(gshunt=gs))
-            return (r.x, all_ok & r.converged), None
-
-        (x, ok), _ = jax.lax.scan(body, (x0, jnp.asarray(True)),
-                                  gshunt_ladder)
-        return NewtonResult(x=x, converged=ok, iters=jnp.int32(0),
-                            resnorm=jnp.asarray(0.0, DTYPE))
-
-    def _source_stepping(x0, params, dyn):
-        def body(carry, sf):
-            x, all_ok = carry
-            r = newton(x, params, dyn._replace(srcfact=sf))
-            return (r.x, all_ok & r.converged), None
-
-        (x, ok), _ = jax.lax.scan(body, (x0, jnp.asarray(True)), src_ramp)
-        return NewtonResult(x=x, converged=ok, iters=jnp.int32(0),
-                            resnorm=jnp.asarray(0.0, DTYPE))
+    # schedule: plain newton; gmin ladder ending at target; source ramp
+    gl = list(np.geomspace(spec.gshunt_start, max(spec.gshunt, 1e-15),
+                           spec.gmin_steps))
+    ramp = list(np.linspace(1.0 / spec.src_steps, 1.0, spec.src_steps))
+    sched_gs = [spec.gshunt] + gl + [spec.gshunt] + [spec.gshunt] * len(ramp)
+    sched_sf = [1.0] * (2 + len(gl)) + ramp
+    sched_fin = ([True] + [False] * len(gl) + [True]
+                 + [False] * (len(ramp) - 1) + [True])
+    schedule = (jnp.asarray(sched_gs, DTYPE), jnp.asarray(sched_sf, DTYPE),
+                jnp.asarray(sched_fin))
 
     def dc_solve(x0, params, dyn: DynSpec) -> NewtonResult:
-        r1 = newton(x0, params, dyn)
+        def body(carry, inp):
+            x, done, iters = carry
+            gs, sf, fin = inp
 
-        def fallback_gmin(_):
-            r2 = _gmin_stepping(x0, params, dyn)
+            def run(x):
+                r = newton(x, params,
+                           dyn._replace(gshunt=gs, srcfact=sf))
+                return r.x, r.converged, r.iters
 
-            def fallback_src(_):
-                r3 = _source_stepping(x0, params, dyn)
-                return r3
-            return jax.lax.cond(r2.converged, lambda _: r2, fallback_src,
-                                None)
+            def skip(x):
+                return x, jnp.asarray(True), jnp.int32(0)
 
-        return jax.lax.cond(r1.converged, lambda _: r1, fallback_gmin, None)
+            x_new, conv, it = jax.lax.cond(done, skip, run, x)
+            done = done | (fin & conv)
+            return (x_new, done, iters + it), None
+
+        init = (jnp.asarray(x0, DTYPE), jnp.asarray(False), jnp.int32(0))
+        (x, done, iters), _ = jax.lax.scan(body, init, schedule)
+        return NewtonResult(x=x, converged=done, iters=iters,
+                            resnorm=jnp.asarray(0.0, DTYPE))
 
     return dc_solve

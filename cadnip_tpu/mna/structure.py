@@ -131,8 +131,17 @@ class Circuit:
         from .devices import MOSFET1
         return self.add(MOSFET1, name, (d, g, s, b), **params)
 
-    def compile(self, spec: SimSpec | None = None) -> "CompiledCircuit":
-        return elaborate(self, spec or SimSpec())
+    def compile(self, spec: SimSpec | None = None, *, solver: str = "auto",
+                block_size: int = 256) -> "CompiledCircuit":
+        """solver: 'dense' | 'bbd' | 'auto' (BBD block-bordered-diagonal
+        decomposition kicks in automatically for large circuits)."""
+        cc = elaborate(self, spec or SimSpec())
+        use_bbd = solver == "bbd" or (solver == "auto"
+                                      and cc.n > 1536)
+        if use_bbd:
+            from .bbd_assemble import partition_circuit
+            cc.bbd = partition_circuit(cc, block_size=block_size)
+        return cc
 
 
 @dataclasses.dataclass
@@ -150,6 +159,7 @@ class CompiledCircuit:
     param_slots: dict                   # "inst.param" -> (gi, pname, slot)
     inst_group: dict                    # inst name -> (gi, slot)
     cache: dict = dataclasses.field(default_factory=dict)  # jitted solvers
+    bbd: object = None                  # BBDPartition for large circuits
 
     # ------------------------------------------------------------------ params
     def params0(self):

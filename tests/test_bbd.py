@@ -1,0 +1,85 @@
+"""Block-bordered-diagonal solver tests: large-circuit path vs dense
+(the KLU-replacement story, SURVEY §2.9/M4)."""
+import numpy as np
+import pytest
+
+import cadnip_tpu as ct
+from cadnip_tpu.mna.bbd_assemble import partition_circuit
+
+
+def _grid(nx, ny, load_diodes=False):
+    """Resistor grid driven at one corner, grounded at the other."""
+    cir = ct.Circuit(f"grid{nx}x{ny}")
+    cir.V("vs", "n0_0", "0", dc=1.0)
+
+    def nm(i, j):
+        return f"n{i}_{j}"
+
+    for i in range(nx):
+        for j in range(ny):
+            if i + 1 < nx:
+                cir.R(f"rx{i}_{j}", nm(i, j), nm(i + 1, j), 1e3)
+            if j + 1 < ny:
+                cir.R(f"ry{i}_{j}", nm(i, j), nm(i, j + 1), 1e3)
+    cir.R("rl", nm(nx - 1, ny - 1), "0", 1e3)
+    if load_diodes:
+        for i in range(0, nx, 3):
+            for j in range(0, ny, 3):
+                cir.D(f"d{i}_{j}", nm(i, j), "0", **{"is": 1e-14})
+    return cir
+
+
+def test_partition_covers_all_unknowns():
+    cc = _grid(12, 12).compile(solver="bbd", block_size=24)
+    part = cc.bbd
+    assert part is not None
+    ninterior = int(np.sum(part.block_of >= 0))
+    assert ninterior + part.nb == cc.n
+    assert part.nb < cc.n * 0.5     # border stays a minority
+
+
+def test_bbd_matches_dense_linear():
+    cir = _grid(10, 10)
+    cc_d = cir.compile(solver="dense")
+    cc_b = _grid(10, 10).compile(solver="bbd", block_size=16)
+    sd = ct.dc(cc_d)
+    sb = ct.dc(cc_b)
+    assert bool(sb.converged)
+    xd = np.asarray(sd.x)
+    xb = np.asarray(sb.x)
+    assert np.max(np.abs(xd - xb)) < 1e-9
+
+
+def test_bbd_matches_dense_nonlinear():
+    cc_d = _grid(8, 8, load_diodes=True).compile(solver="dense")
+    cc_b = _grid(8, 8, load_diodes=True).compile(solver="bbd",
+                                                 block_size=12)
+    sd = ct.dc(cc_d)
+    sb = ct.dc(cc_b)
+    assert bool(sd.converged) and bool(sb.converged)
+    assert np.max(np.abs(np.asarray(sd.x) - np.asarray(sb.x))) < 1e-8
+
+
+def test_bbd_transient_matches_dense():
+    def build(solver):
+        cir = _grid(6, 6)
+        cir.C("cl", "n5_5", "0", 1e-9)
+        # replace the DC source with a pulse for dynamics
+        return cir.compile(solver=solver, block_size=10)
+
+    cc_d = build("dense")
+    cc_b = build("bbd")
+    sd = ct.tran(cc_d, (0, 1e-6), dt=1e-8)
+    sb = ct.tran(cc_b, (0, 1e-6), dt=1e-8)
+    assert bool(sb.converged)
+    # both adaptive runs are tolerance-accurate; trajectories differ at
+    # the LTE tolerance level
+    assert np.max(np.abs(np.asarray(sd.xs) - np.asarray(sb.xs))) < 1e-3
+
+
+def test_bbd_auto_threshold():
+    # small circuits stay dense
+    cir = ct.Circuit("small")
+    cir.V("v", "a", "0", dc=1.0)
+    cir.R("r", "a", "0", 1.0)
+    assert cir.compile().bbd is None
