@@ -110,10 +110,21 @@ def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
 def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                      method: str | None = None, integ: str = "trap"):
     """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
-    hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced."""
-    # backend-appropriate assembler (dense or BBD) chosen inside
-    newton_t = make_tran_newton(cc, method=method)
+    hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced.
+
+    The integrator is a FLATTENED state machine: one lax.while_loop whose
+    every iteration performs exactly one Newton iteration; step-control
+    (LTE accept/reject, h update, history rotation, saving) runs as masked
+    updates on the iterations where Newton completes. Flattening removes
+    the Newton-inside-timestep while-loop nesting — XLA:TPU compile time
+    drops by an order of magnitude, and under vmap every sweep lane
+    advances through its own Newton iterations without lockstep barriers.
+    """
+    from ..mna.devices import CLASS_V
+    from ..mna.newton import _make_assemble_solve
+    assemble, solve_J = _make_assemble_solve(cc, None, method)
     atol = abstol_vector(cc)
+    is_v = jnp.asarray(cc.classes == CLASS_V)
     spec = cc.spec
     n = cc.n
 
@@ -123,40 +134,23 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         xs = jnp.zeros((n_save, n), DTYPE)
 
         def save_points(si, xs, t_old, x_old, t_new, x_new):
-            # fill every grid point in (t_old, t_new] by linear interpolation
-            def cond(c):
-                si, _ = c
-                return (si < n_save) & (save_ts[jnp.minimum(si, n_save - 1)]
-                                        <= t_new + 1e-30)
+            """Fill every grid point in (t_old, t_new] by linear
+            interpolation — vectorized masked write over the whole grid
+            (one fused select; no inner while-loop, which would nest and
+            blow up XLA:TPU compile time)."""
+            mask = (save_ts > t_old + 1e-30) & (save_ts <= t_new + 1e-30)
+            w = jnp.where(t_new > t_old,
+                          (save_ts - t_old) / jnp.maximum(t_new - t_old,
+                                                          1e-300), 1.0)
+            w = jnp.clip(w, 0.0, 1.0)
+            xi = x_old[None, :] + w[:, None] * (x_new - x_old)[None, :]
+            xs = jnp.where(mask[:, None], xi, xs)
+            return si + jnp.sum(mask, dtype=jnp.int32), xs
 
-            def body(c):
-                si, xs = c
-                ts_i = save_ts[si]
-                w = jnp.where(t_new > t_old, (ts_i - t_old) / (t_new - t_old),
-                              1.0)
-                xi = x_old + w * (x_new - x_old)
-                return si + 1, xs.at[si].set(xi)
-
-            return jax.lax.while_loop(cond, body, (si, xs))
-
-        # state: (t, h, x, lim, q, qdot, hist(x1,t1,x2,t2), ord, bp_i, si,
-        #         xs, naccept, nreject, nnewton, fail, nsteps)
-        si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
-        state = dict(
-            t=t0, h=h0, x=x0, lim=lim0, q=q0, qdot=qdot0, q1=q0,
-            x1=x0, t1=t0 - 1.0, x2=x0, t2=t0 - 2.0,
-            ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
-            naccept=jnp.int32(0), nreject=jnp.int32(0),
-            nnewton=jnp.int32(0), fail=jnp.asarray(False),
-            nsteps=jnp.int32(0))
-
-        def cond(s):
-            return ((s["t"] < tstop * (1.0 - 1e-12)) & (~s["fail"])
-                    & (s["nsteps"] < max_steps) & (s["si"] < n_save))
-
-        def body(s):
+        def setup_trial(s):
+            """Compute the next trial step's (h_eff, t_new, c0, rhs_q,
+            hit_bp, x_pred) from the accepted state in s."""
             t, h, x = s["t"], s["h"], s["x"]
-            # clamp the step to the next breakpoint / tstop
             bp_t = bp_times[jnp.minimum(s["bp_i"], n_bp - 1)]
             h_eff = jnp.minimum(jnp.minimum(h, hmax), tstop - t)
             to_bp = bp_t - t
@@ -166,7 +160,6 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             t_new = t + h_eff
             hit_bp = t_new >= bp_t - 1e-15 * jnp.maximum(bp_t, 1.0)
 
-            # integration coefficients: BE (ord 1), trap or gear2 (ord 2)
             use_be = s["ord"] == 1
             if integ == "trap":
                 c0 = jnp.where(use_be, 1.0 / h_eff, 2.0 / h_eff)
@@ -181,70 +174,120 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                 rhs_q = jnp.where(use_be, s["q"] / h_eff,
                                   -(b0 * s["q"] + g0 * s["q1"]))
 
-            # linear predictor for warm start
             dt1 = jnp.maximum(t - s["t1"], 1e-300)
             slope = (x - s["x1"]) / dt1
             x_pred = jnp.where(s["naccept"] >= 1, x + slope * h_eff, x)
+            return dict(h_eff=h_eff, t_new=t_new, c0=c0, rhs_q=rhs_q,
+                        hit_bp=hit_bp, use_be=use_be, xi=x_pred,
+                        it=jnp.int32(0))
 
-            dyn = dyn0._replace(time=t_new,
+        # flattened state: accepted quantities + in-flight trial
+        si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
+        state = dict(
+            t=t0, h=h0, x=x0, lim=lim0, q=q0, qdot=qdot0, q1=q0,
+            x1=x0, t1=t0 - 1.0, x2=x0, t2=t0 - 2.0,
+            ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
+            naccept=jnp.int32(0), nreject=jnp.int32(0),
+            nnewton=jnp.int32(0), fail=jnp.asarray(False),
+            nsteps=jnp.int32(0))
+        state.update(setup_trial(state))
+
+        def cond(s):
+            return ((s["t"] < tstop * (1.0 - 1e-12)) & (~s["fail"])
+                    & (s["nsteps"] < max_steps) & (s["si"] < n_save))
+
+        def body(s):
+            # ---- exactly ONE Newton iteration on the in-flight trial
+            c0, rhs_q = s["c0"], s["rhs_q"]
+            dyn = dyn0._replace(time=s["t_new"],
                                 mode=jnp.asarray(MODE_TRAN, jnp.int32))
-            r = newton_t(x_pred, s["lim"], params, dyn, c0, rhs_q)
+            F, Q, G, C, lim_new = assemble(pad_state(s["xi"]), s["lim"],
+                                           params, dyn)
+            Ft = F + c0 * Q - rhs_q
+            dx = solve_J(G, C, c0, -Ft)
+            if spec.max_dv > 0:
+                dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv,
+                                              spec.max_dv), dx)
+            xi_new = s["xi"] + dx
+            ok = jnp.all(jnp.abs(dx) <= spec.reltol * jnp.maximum(
+                jnp.abs(xi_new), jnp.abs(s["xi"])) + atol)
+            bad = ~jnp.all(jnp.isfinite(xi_new))
+            xi_new = jnp.where(bad, s["xi"], xi_new)
+            lim_new = jnp.where(bad, s["lim"], lim_new)
+            it = s["it"] + 1
+            conv = ok & ~bad
+            newton_done = conv | bad | (it >= spec.max_newton_iters)
 
-            # LTE estimate from divided differences (needs >=2 history pts)
-            d2, d3 = _divided_diff3(r.x, t_new, x, t, s["x1"], s["t1"],
+            # ---- step control (masked: applies only when newton_done)
+            t, x, h_eff, t_new = s["t"], s["x"], s["h_eff"], s["t_new"]
+            d2, d3 = _divided_diff3(xi_new, t_new, x, t, s["x1"], s["t1"],
                                     s["x2"], s["t2"])
-            lte = jnp.where(use_be, h_eff * h_eff * jnp.abs(d2),
+            lte = jnp.where(s["use_be"], h_eff * h_eff * jnp.abs(d2),
                             0.5 * h_eff ** 3 * jnp.abs(d3))
-            etol = TRTOL * (spec.reltol * jnp.maximum(jnp.abs(r.x),
+            etol = TRTOL * (spec.reltol * jnp.maximum(jnp.abs(xi_new),
                                                       jnp.abs(x)) + atol)
-            # LTE applies to differential variables only (rows with charge
-            # dynamics) — reference detect_differential_vars
-            # (`src/mna/solve.jl:2041`); algebraic vars (branch currents,
-            # resistive nodes) follow instantaneously and must not gate h.
+            # LTE only on differential variables (reference
+            # detect_differential_vars, `src/mna/solve.jl:2041`)
             enorm = jnp.max(jnp.where(diff_mask, lte / etol, 0.0))
-            have_hist = s["naccept"] >= 2
-            enorm = jnp.where(have_hist, enorm, 0.0)
+            enorm = jnp.where(s["naccept"] >= 2, enorm, 0.0)
 
-            accept = r.converged & ((enorm <= 1.0) | (h_eff <= hmin * 1.01))
-            # new step size
-            fac = jnp.where(
-                r.converged,
-                jnp.clip(0.9 * jnp.power(jnp.maximum(enorm, 1e-10),
-                                         -1.0 / 3.0), SHRINK_MIN, GROW_MAX),
-                NEWTON_FAIL_CUT)
+            accept = newton_done & conv & (
+                (enorm <= 1.0) | (h_eff <= hmin * 1.01))
+            reject = newton_done & ~accept
+            fac = jnp.where(conv,
+                            jnp.clip(0.9 * jnp.power(
+                                jnp.maximum(enorm, 1e-10), -1.0 / 3.0),
+                                SHRINK_MIN, GROW_MAX),
+                            NEWTON_FAIL_CUT)
             h_next = jnp.clip(h_eff * fac, hmin, hmax)
+            fail_now = reject & (h_eff <= hmin * 1.01)
 
-            # --- accepted path (qdot from the discretization identity:
-            # qdot_{n+1} = c0*q_{n+1} - rhs_q for BE/trap/gear2 alike)
-            q_new = r.q
-            qdot_new = c0 * q_new - rhs_q
-            si_new, xs_new = save_points(s["si"], s["xs"], t, x, t_new, r.x)
-            fail_now = (~accept) & (h_eff <= hmin * 1.01)
+            # qdot from the discretization identity (BE/trap/gear2 alike)
+            qdot_new = c0 * Q - rhs_q
+            si_new, xs_new = save_points(s["si"], s["xs"], t, x, t_new,
+                                         xi_new)
 
             def pick(a, b):
                 return jnp.where(accept, a, b)
 
-            return dict(
-                t=pick(t_new, t), h=h_next,
-                x=pick(r.x, x), lim=pick(r.lim, s["lim"]),
-                q=pick(q_new, s["q"]), qdot=pick(qdot_new, s["qdot"]),
+            ns = dict(
+                t=pick(t_new, t), h=jnp.where(newton_done, h_next, s["h"]),
+                x=pick(xi_new, x),
+                lim=jnp.where(newton_done & ~conv, s["lim"], lim_new),
+                q=pick(Q, s["q"]), qdot=pick(qdot_new, s["qdot"]),
                 q1=pick(s["q"], s["q1"]),
                 x1=pick(x, s["x1"]), t1=pick(t, s["t1"]),
                 x2=pick(s["x1"], s["x2"]), t2=pick(s["t1"], s["t2"]),
-                # order control: BE after breakpoints AND after Newton
-                # failures (BE is the most robust restart), else 2nd order
-                ord=jnp.where(accept & hit_bp, jnp.int32(1),
+                # BE after breakpoints and after Newton failures
+                ord=jnp.where(accept & s["hit_bp"], jnp.int32(1),
                               jnp.where(accept, jnp.int32(2),
-                                        jnp.where(r.converged, s["ord"],
-                                                  jnp.int32(1)))),
-                bp_i=jnp.where(accept & hit_bp, s["bp_i"] + 1, s["bp_i"]),
+                                        jnp.where(reject & ~conv,
+                                                  jnp.int32(1), s["ord"]))),
+                bp_i=jnp.where(accept & s["hit_bp"], s["bp_i"] + 1,
+                               s["bp_i"]),
                 si=jnp.where(accept, si_new, s["si"]),
                 xs=jnp.where(accept, xs_new, s["xs"]),
                 naccept=s["naccept"] + accept.astype(jnp.int32),
-                nreject=s["nreject"] + (~accept).astype(jnp.int32),
-                nnewton=s["nnewton"] + r.iters,
+                nreject=s["nreject"] + reject.astype(jnp.int32),
+                nnewton=s["nnewton"] + 1,
                 fail=s["fail"] | fail_now,
-                nsteps=s["nsteps"] + 1)
+                nsteps=s["nsteps"] + newton_done.astype(jnp.int32))
+
+            # next trial: fresh setup when this one finished, else continue
+            trial = setup_trial(ns)
+            keep = dict(h_eff=s["h_eff"], t_new=s["t_new"], c0=s["c0"],
+                        rhs_q=s["rhs_q"], hit_bp=s["hit_bp"],
+                        use_be=s["use_be"], xi=xi_new, it=it)
+            for k in trial:
+                ns[k] = jax.tree.map(
+                    lambda a, b: jnp.where(newton_done, a, b),
+                    trial[k], keep[k])
+            # limiter state: keep updating while Newton continues; commit
+            # on accept; restore the last accepted state on reject
+            ns["lim"] = jnp.where(accept, lim_new,
+                                  jnp.where(newton_done, s["lim"],
+                                            lim_new))
+            return ns
 
         out = jax.lax.while_loop(cond, body, state)
         ran_out = (out["nsteps"] >= max_steps) & (out["t"] < tstop * (1 - 1e-12))

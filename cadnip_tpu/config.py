@@ -46,9 +46,8 @@ def default_backend() -> str:
 
 
 def solve_method_for_backend(backend: str | None = None) -> str:
-    """Pick the linear-solve method: native f64 LU on CPU, f32 LU + iterative
-    refinement on TPU (where f64 LU does not compile)."""
-    b = backend or default_backend()
-    if b in ("cpu",):
-        return "lu64"
-    return "lu32ir"
+    """Linear-solve method selector. 'auto' resolves per system size in
+    ops.linalg.resolve_method: native f64 LU on CPU; on TPU, unrolled
+    Gauss-Jordan (full f64, no LU-expander while-loops) for circuit-sized
+    systems and equilibrated f32 LU + f64 refinement above that."""
+    return "auto"

@@ -31,6 +31,36 @@ import jax.scipy.linalg as jsl
 from ..config import DTYPE, LU_DTYPE
 
 
+def gauss_solve(A, b):
+    """Unrolled Gauss-Jordan elimination with partial pivoting, full f64.
+
+    For circuit-sized systems (n <= ~128) this is the right TPU solve: it
+    lowers to pure elementwise/select arithmetic — no LU expander
+    while-loops (which, nested inside Newton inside a transient loop, blow
+    XLA:TPU compile times up by orders of magnitude) — and it runs in f64
+    end-to-end (no f32 factorization, no refinement needed).
+
+    b may be a vector [n] or a matrix [n, k].
+    """
+    n = A.shape[-1]
+    vec = b.ndim == 1
+    B = b[:, None] if vec else b
+    Ab = jnp.concatenate([A, B.astype(A.dtype)], axis=1)
+    rows = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(Ab[:, k])
+        p = jnp.argmax(jnp.where(rows >= k, col, -1.0))
+        rowk = Ab[k]
+        rowp = Ab[p]
+        Ab = Ab.at[k].set(rowp).at[p].set(rowk)
+        piv = Ab[k, k]
+        factor = Ab[:, k] / piv
+        factor = factor.at[k].set(0.0)
+        Ab = Ab - factor[:, None] * Ab[k][None, :]
+    x = Ab[:, n:] / jnp.diagonal(Ab[:, :n])[:, None]
+    return x[:, 0] if vec else x
+
+
 def _equilibrate(A):
     """Row/column max-norm scaling. Returns (A_scaled, r, c) with
     A_scaled = diag(r) @ A @ diag(c)."""
@@ -39,6 +69,11 @@ def _equilibrate(A):
     As = A * r[:, None]
     c = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=0), tiny)
     return As * c[None, :], r, c
+
+
+#: below this size, unrolled Gauss-Jordan beats LU on TPU (compile AND
+#: accuracy: full f64, no expander while-loops)
+GAUSS_MAX_N = 160
 
 
 class DenseLU:
@@ -52,9 +87,16 @@ class DenseLU:
             lu, piv, r, c, A, method)
 
     def solve(self, b, refine: int = 2):
+        if self.method == "gauss":
+            return gauss_solve(self.A, b)
         if self.method == "lu64":
+            if b.ndim == 2:
+                return jax.vmap(lambda bb: jsl.lu_solve(
+                    (self.lu, self.piv), bb), in_axes=1, out_axes=1)(b)
             return jsl.lu_solve((self.lu, self.piv), b)
         # f32 LU + f64 iterative refinement
+        if b.ndim == 2:
+            return jax.vmap(self.solve, in_axes=1, out_axes=1)(b)
         x = self.c * jsl.lu_solve((self.lu, self.piv),
                                   (self.r * b).astype(LU_DTYPE)).astype(DTYPE)
         for _ in range(refine):
@@ -66,7 +108,20 @@ class DenseLU:
         return x
 
 
-def factorize(A, method: str) -> DenseLU:
+def resolve_method(method: str | None, n: int) -> str:
+    """'auto'/None -> concrete method for an n-sized system."""
+    if method in (None, "auto"):
+        backend = jax.default_backend()
+        if backend == "cpu":
+            return "lu64"
+        return "gauss" if n <= GAUSS_MAX_N else "lu32ir"
+    return method
+
+
+def factorize(A, method: str = "auto") -> DenseLU:
+    method = resolve_method(method, A.shape[-1])
+    if method == "gauss":
+        return DenseLU(None, None, None, None, A, method)
     if method == "lu64":
         lu, piv = jsl.lu_factor(A)
         return DenseLU(lu, piv, None, None, A, method)
@@ -76,7 +131,7 @@ def factorize(A, method: str) -> DenseLU:
 
 
 @partial(jax.jit, static_argnames=("method", "refine"))
-def solve(A, b, method: str = "lu64", refine: int = 2):
+def solve(A, b, method: str = "auto", refine: int = 2):
     return factorize(A, method).solve(b, refine=refine)
 
 

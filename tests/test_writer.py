@@ -1,0 +1,54 @@
+"""Netlist writer / dialect conversion round-trip tests."""
+import numpy as np
+import pytest
+
+import cadnip_tpu as ct
+from cadnip_tpu.frontend.writer import convert, to_spice
+
+
+def test_spice_roundtrip():
+    src = """roundtrip
+.model dx d (is=2e-14 n=1.1)
+v1 in 0 dc 5 ac 1 0
+r1 in mid 1k
+c1 mid 0 1u
+l1 mid out 1m
+d1 out 0 dx
+e1 e1p 0 mid 0 2.0
+rl e1p 0 1k
+"""
+    cc1 = ct.parse_spice(src)
+    text = to_spice(ct.parse_spice(src, compile=False))
+    cc2 = ct.parse_spice(text)
+    s1 = ct.dc(cc1)
+    s2 = ct.dc(cc2)
+    for node in ("in", "mid", "out", "e1p"):
+        assert float(s1[node]) == pytest.approx(float(s2[node]), rel=1e-9)
+
+
+def test_spectre_to_spice_conversion():
+    spectre = """
+simulator lang=spectre
+v1 (in 0) vsource dc=5
+r1 (in out) resistor r=1K
+r2 (out 0) resistor r=3K
+"""
+    spice = convert(spectre, to="spice")
+    assert "resistor" not in spice
+    cc = ct.parse_spice(spice)
+    sol = ct.dc(cc)
+    assert float(sol["out"]) == pytest.approx(3.75, rel=1e-9)
+
+
+def test_waveform_roundtrip():
+    src = """waves
+vs in 0 dc 0 pulse 0 1 1u 1u 1u 1m 2m
+r1 in out 1k
+c1 out 0 1u
+"""
+    text = to_spice(ct.parse_spice(src, compile=False))
+    cc = ct.parse_spice(text)
+    sol = ct.tran(cc, (0, 2e-3), dt=2e-6)
+    assert bool(sol.converged)
+    v = np.asarray(sol["out"])
+    assert 0.5 < v[np.argmin(np.abs(sol.ts - 1e-3))] < 0.7
