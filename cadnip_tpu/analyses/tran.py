@@ -37,6 +37,7 @@ from ..mna.structure import CompiledCircuit
 from .dc import DCSolution, dc
 
 TRTOL = 7.0          # SPICE LTE slack factor
+TRACE_LEN = 4096     # solver-trace ring buffer length
 GROW_MAX = 2.0
 SHRINK_MIN = 0.2
 NEWTON_FAIL_CUT = 0.125
@@ -108,7 +109,8 @@ def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
 
 
 def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
-                     method: str | None = None, integ: str = "trap"):
+                     method: str | None = None, integ: str = "trap",
+                     trace: bool = False):
     """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
     hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced.
 
@@ -189,7 +191,13 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
             naccept=jnp.int32(0), nreject=jnp.int32(0),
             nnewton=jnp.int32(0), fail=jnp.asarray(False),
-            nsteps=jnp.int32(0))
+            nsteps=jnp.int32(0), nrej_run=jnp.int32(0),
+            hold=jnp.int32(0))
+        if trace:
+            # solver observability: per-Newton-iteration log of
+            # (t_new, h_eff, it, conv, enorm, accept) — ring buffer
+            state["trace"] = jnp.zeros((TRACE_LEN, 6), DTYPE)
+            state["ti"] = jnp.int32(0)
         state.update(setup_trial(state))
 
         def cond(s):
@@ -206,11 +214,20 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             Ft = F + c0 * Q - rhs_q
             dx = solve_J(G, C, c0, -Ft)
             if spec.max_dv > 0:
-                dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv,
-                                              spec.max_dv), dx)
+                vstep = jnp.max(jnp.where(is_v, jnp.abs(dx), 0.0))
+                dx = dx * jax.lax.stop_gradient(
+                    jnp.minimum(1.0, spec.max_dv /
+                                jnp.maximum(vstep, 1e-300)))
             xi_new = s["xi"] + dx
-            ok = jnp.all(jnp.abs(dx) <= spec.reltol * jnp.maximum(
+            ok_dx = jnp.all(jnp.abs(dx) <= spec.reltol * jnp.maximum(
                 jnp.abs(xi_new), jnp.abs(s["xi"])) + atol)
+            # residual-floor test: at small h the c0-terms dominate and the
+            # linear-solve noise floor can exceed the dx tolerance; accept
+            # when the residual is at the cancellation floor of its own
+            # constituent magnitudes (SPICE-style residual convergence)
+            rowscale = jnp.abs(F) + jnp.abs(c0 * Q) + jnp.abs(rhs_q)
+            ok_res = jnp.all(jnp.abs(Ft) <= 1e-9 * rowscale + atol)
+            ok = ok_dx | ok_res
             bad = ~jnp.all(jnp.isfinite(xi_new))
             xi_new = jnp.where(bad, s["xi"], xi_new)
             lim_new = jnp.where(bad, s["lim"], lim_new)
@@ -230,16 +247,30 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             # detect_differential_vars, `src/mna/solve.jl:2041`)
             enorm = jnp.max(jnp.where(diff_mask, lte / etol, 0.0))
             enorm = jnp.where(s["naccept"] >= 2, enorm, 0.0)
+            # NaN guard: a NaN enorm/h would deadlock the controller (NaN
+            # comparisons are all False, so neither the hmin force-accept
+            # nor the failure detector would ever fire)
+            enorm = jnp.where(jnp.isnan(enorm), jnp.inf, enorm)
 
             accept = newton_done & conv & (
                 (enorm <= 1.0) | (h_eff <= hmin * 1.01))
             reject = newton_done & ~accept
+            # LTE-indicated factor: on reject shrink the WHOLE way to the
+            # indicated step (clamping the shrink causes accept/reject
+            # limit cycles at sharp edges where the divided-difference LTE
+            # underestimates right after shrinking); growth is suppressed
+            # while `hold` > 0 (set by any reject) — a PI-controller-style
+            # anti-windup
             fac = jnp.where(conv,
                             jnp.clip(0.9 * jnp.power(
                                 jnp.maximum(enorm, 1e-10), -1.0 / 3.0),
-                                SHRINK_MIN, GROW_MAX),
+                                0.02, GROW_MAX),
                             NEWTON_FAIL_CUT)
+            fac = jnp.where(accept & (s["hold"] > 0),
+                            jnp.minimum(fac, 1.0), fac)
             h_next = jnp.clip(h_eff * fac, hmin, hmax)
+            h_next = jnp.where(jnp.isfinite(h_next) & (h_next > 0),
+                               h_next, hmin)
             fail_now = reject & (h_eff <= hmin * 1.01)
 
             # qdot from the discretization identity (BE/trap/gear2 alike)
@@ -270,7 +301,15 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                 naccept=s["naccept"] + accept.astype(jnp.int32),
                 nreject=s["nreject"] + reject.astype(jnp.int32),
                 nnewton=s["nnewton"] + 1,
-                fail=s["fail"] | fail_now,
+                # a long unbroken run of rejects = "timestep too small"
+                # (belt-and-braces stuck-step detector)
+                nrej_run=jnp.where(accept, jnp.int32(0),
+                                   s["nrej_run"] + reject.astype(jnp.int32)),
+                hold=jnp.where(reject, jnp.int32(3),
+                               jnp.where(accept,
+                                         jnp.maximum(s["hold"] - 1, 0),
+                                         s["hold"])),
+                fail=s["fail"] | fail_now | (s["nrej_run"] > 100),
                 nsteps=s["nsteps"] + newton_done.astype(jnp.int32))
 
             # next trial: fresh setup when this one finished, else continue
@@ -287,6 +326,15 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             ns["lim"] = jnp.where(accept, lim_new,
                                   jnp.where(newton_done, s["lim"],
                                             lim_new))
+            if trace:
+                viol = jnp.max(jnp.abs(dx) / (spec.reltol * jnp.maximum(
+                    jnp.abs(xi_new), jnp.abs(s["xi"])) + atol))
+                rec = jnp.stack([t_new, h_eff, it.astype(DTYPE),
+                                 conv.astype(DTYPE), viol,
+                                 accept.astype(DTYPE)])
+                ti = jnp.mod(s["ti"], TRACE_LEN)
+                ns["trace"] = s["trace"].at[ti].set(rec)
+                ns["ti"] = s["ti"] + 1
             return ns
 
         out = jax.lax.while_loop(cond, body, state)
@@ -294,6 +342,8 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         stats = TranStats(naccept=out["naccept"], nreject=out["nreject"],
                           nnewton=out["nnewton"],
                           fail=out["fail"] | ran_out)
+        if trace:
+            return out["xs"], stats, (out["trace"], out["ti"])
         return out["xs"], stats
 
     return run
@@ -302,7 +352,7 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
 def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
          n_save: int | None = None, save_ts=None, max_steps: int = 200_000,
          x0=None, method: str | None = None, integ: str = "trap",
-         ic: dict | None = None, uic: bool = False,
+         ic: dict | None = None, uic: bool = False, trace: bool = False,
          _vmap_axes=None) -> TranSolution:
     """Transient analysis over tspan=(t0, tstop).
 
@@ -354,10 +404,10 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     bp = collect_breakpoints(cc, tstop)
     bp = bp[bp > t0]
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
-           None if _vmap_axes is None else str(_vmap_axes))
+           trace, None if _vmap_axes is None else str(_vmap_axes))
     if key not in cc.cache:
         runner = make_tran_runner(cc, n_save, max_steps, method=method,
-                                  integ=integ)
+                                  integ=integ, trace=trace)
         rhs = make_rhs_assembler(cc)
         if cc.bbd is not None:
             from ..mna.bbd_assemble import make_bbd_assembler
@@ -391,11 +441,21 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
         cc.cache[key] = jax.jit(full)
 
     dyn0 = cc.spec.dyn(mode=MODE_TRAN, time=t0)
-    hmin = max((tstop - t0) * 1e-12, 1e-21)
+    # hmin floor: below ~1e-5*dt the trapezoidal system G + (2/h)C becomes
+    # so stiff (cond ~ 1/(h*gmin)) that f64 Newton cannot converge at all —
+    # h that small carries no information anyway (SPICE delmin in spirit)
+    hmin = max((tstop - t0) * 1e-12, dt * 1e-5, 1e-18)
     h0 = min(dt / 10.0, dtmax)
-    xs, stats = cc.cache[key](
+    out = cc.cache[key](
         x0, params, dyn0, jnp.asarray(t0, DTYPE), jnp.asarray(tstop, DTYPE),
         jnp.asarray(h0, DTYPE), jnp.asarray(dtmax, DTYPE),
         jnp.asarray(hmin, DTYPE), jnp.asarray(bp, DTYPE), save_ts)
-    return TranSolution(cc, np.asarray(save_ts), xs, stats,
-                        op_converged=op_conv)
+    if trace:
+        xs, stats, tr = out
+    else:
+        xs, stats = out
+        tr = None
+    sol = TranSolution(cc, np.asarray(save_ts), xs, stats,
+                       op_converged=op_conv)
+    sol.trace = tr
+    return sol

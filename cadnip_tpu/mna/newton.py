@@ -75,7 +75,12 @@ def make_newton(cc: CompiledCircuit, assemble=None, method: str | None = None):
         F, _, G, C, lim_new = assemble(xp, lim, params, dyn)
         dx = solve_J(G, C, 0.0, -F)
         if spec.max_dv > 0:
-            dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv, spec.max_dv), dx)
+            # uniform damping (not per-component clipping, which distorts
+            # the Newton direction and can limit-cycle): scale the whole
+            # step so no voltage moves more than max_dv
+            vstep = jnp.max(jnp.where(is_v, jnp.abs(dx), 0.0))
+            dx = dx * jax.lax.stop_gradient(
+                jnp.minimum(1.0, spec.max_dv / jnp.maximum(vstep, 1e-300)))
         x_new = x + dx
         ok_dx = jnp.abs(dx) <= spec.reltol * jnp.maximum(jnp.abs(x_new),
                                                          jnp.abs(x)) + atol
@@ -140,8 +145,10 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
             Ft = F + c0 * Q - rhs_q
             dx = solve_J(G, C, c0, -Ft)
             if spec.max_dv > 0:
-                dx = jnp.where(is_v, jnp.clip(dx, -spec.max_dv, spec.max_dv),
-                               dx)
+                vstep = jnp.max(jnp.where(is_v, jnp.abs(dx), 0.0))
+                dx = dx * jax.lax.stop_gradient(
+                    jnp.minimum(1.0, spec.max_dv /
+                                jnp.maximum(vstep, 1e-300)))
             x_new = x + dx
             ok = jnp.all(jnp.abs(dx) <= spec.reltol * jnp.maximum(
                 jnp.abs(x_new), jnp.abs(x)) + atol)

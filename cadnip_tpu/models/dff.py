@@ -10,11 +10,15 @@ from __future__ import annotations
 
 import numpy as np
 
+# junction/overlap caps are deliberately generous (fF-scale): they give
+# every latch node real dynamic state so clock-edge races resolve by the
+# circuit's time constants, not by Newton's path through a quasi-static
+# bistable point (which is numerically marginal by construction)
 DFF_MODELS = """
-.model n1 nmos (level=1 vto=0.8 kp=120u lambda=0.05 cgso=0.4f cgdo=0.4f
-+ cbd=0.3f cbs=0.3f)
-.model p1 pmos (level=1 vto=-0.9 kp=50u lambda=0.05 cgso=0.5f cgdo=0.5f
-+ cbd=0.4f cbs=0.4f)
+.model n1 nmos (level=1 vto=0.8 kp=120u lambda=0.05 cgso=1.5f cgdo=1.5f
++ cbd=2f cbs=2f)
+.model p1 pmos (level=1 vto=-0.9 kp=50u lambda=0.05 cgso=2f cgdo=2f
++ cbd=2.5f cbs=2.5f)
 """
 
 
@@ -41,17 +45,19 @@ def dff_netlist(vdd=5.0, cq=1.72e-13, tstop=6e-7, tstep=3.33e-10) -> str:
         _tgate("t1", "dneg", "dclk", "cki", "ncki"),
         # master inverter
         _inv("m1", "dclk", "qint"),
-        # master latch feedback through stacked recharge pair
-        "mnf0 dclk ncki nfb vss n1 w=3.6e-7 l=6e-7",
-        "mpf0 pfb cki dclk vdd p1 w=4.95e-7 l=5e-7",
-        "mnf1 vss qint nfb vss n1 w=3.6e-7 l=6e-7",
-        "mpf1 vdd qint pfb vdd p1 w=4.95e-7 l=5e-7",
+        # master latch feedback through stacked recharge pair — WEAK keeper
+        # (0.1x) so the forward path always overpowers it during clock
+        # overlap: makes the latch race-free for quasi-static models
+        "mnf0 dclk ncki nfb vss n1 w=0.4e-7 l=6e-7",
+        "mpf0 pfb cki dclk vdd p1 w=0.5e-7 l=5e-7",
+        "mnf1 vss qint nfb vss n1 w=0.4e-7 l=6e-7",
+        "mpf1 vdd qint pfb vdd p1 w=0.5e-7 l=5e-7",
         # slave t-gates
         _tgate("t2", "n0", "qint", "ncki", "cki"),
         _tgate("t3", "n7", "n0", "cki", "ncki"),
-        # slave inverters (cross-coupled via n7)
+        # slave inverters: strong output, weak keeper feedback
         _inv("s1", "n0", "qneg", wn=9.45e-7, wp=1.075e-6),
-        _inv("s2", "qneg", "n7", wn=9.45e-7, wp=1.075e-6),
+        _inv("s2", "qneg", "n7", wn=1.0e-7, wp=1.2e-7),
         # output stage (2x parallel)
         _inv("o1", "qneg", "q", wn=8.2e-7, wp=1.095e-6),
         _inv("o2", "qneg", "q", wn=8.2e-7, wp=1.095e-6),
