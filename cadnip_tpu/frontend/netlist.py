@@ -164,19 +164,28 @@ def split_fields(s: str, line_no: int):
 
     items, _ = nest(0)
 
-    # merge key = value
-    out = []
-    j = 0
-    while j < len(items):
-        if (j + 1 < len(items) and items[j + 1] == ("op", "=")
-                and items[j][0] == "word"):
-            val = items[j + 2] if j + 2 < len(items) else ("word", "")
-            out.append(("kw", items[j][1].lower(), val))
-            j += 3
-        else:
-            out.append(items[j])
-            j += 1
-    return out
+    # merge key = value (recursively: model cards put kv pairs inside
+    # parenthesized groups)
+    def merge(items):
+        out = []
+        j = 0
+        while j < len(items):
+            it = items[j]
+            if it[0] == "group":
+                it = ("group", merge(it[1]))
+            if (j + 1 < len(items) and items[j + 1] == ("op", "=")
+                    and it[0] == "word"):
+                val = items[j + 2] if j + 2 < len(items) else ("word", "")
+                if val[0] == "group":
+                    val = ("group", merge(val[1]))
+                out.append(("kw", it[1].lower(), val))
+                j += 3
+            else:
+                out.append(it)
+                j += 1
+        return out
+
+    return merge(items)
 
 
 # ---------------------------------------------------------------------------

@@ -38,34 +38,42 @@ class NewtonResult(NamedTuple):
 
 
 def _make_assemble_solve(cc: CompiledCircuit, assemble, method):
-    """Backend dispatch: returns (assemble, solve_J) where
-    solve_J(G_repr, C_repr, c0, rhs) solves (G + c0*C) dx = rhs for both
-    the dense and the block-bordered-diagonal representations."""
+    """Backend dispatch: returns (assemble, solve_J, matvec) where
+    solve_J(G_repr, C_repr, c0, rhs) solves (G + c0*C) dx = rhs and
+    matvec(M_repr, v) applies a matrix in the backend representation —
+    for both the dense and the block-bordered-diagonal forms."""
     method = method or solve_method_for_backend()
     if cc.bbd is not None:
-        from ..ops.bbd import make_bbd_solver
+        from ..ops.bbd import bbd_matvec, make_bbd_solver
         from .bbd_assemble import make_bbd_assembler
         assemble = assemble or make_bbd_assembler(cc, cc.bbd)
         bbd_solve = make_bbd_solver(cc.bbd, method)
+        part = cc.bbd
 
         def solve_J(G, C, c0, rhs):
             J = tuple(g + c0 * c for g, c in zip(G, C))
             return bbd_solve(*J, rhs)
 
-        return assemble, solve_J
+        def matvec(M, v):
+            return bbd_matvec(part, M, v)
+
+        return assemble, solve_J, matvec
 
     assemble = assemble or make_assembler(cc)
 
     def solve_J(G, C, c0, rhs):
         return dense_solve(G + c0 * C, rhs, method=method)
 
-    return assemble, solve_J
+    def matvec(M, v):
+        return M @ v
+
+    return assemble, solve_J, matvec
 
 
 def make_newton(cc: CompiledCircuit, assemble=None, method: str | None = None):
     """Build newton(x0, params, dyn) -> NewtonResult (traced, vmappable)."""
     spec = cc.spec
-    assemble, solve_J = _make_assemble_solve(cc, assemble, method)
+    assemble, solve_J, matvec = _make_assemble_solve(cc, assemble, method)
     atol = abstol_vector(cc)
     is_v = jnp.asarray(cc.classes == CLASS_V)
     max_iters = spec.max_newton_iters
@@ -127,7 +135,7 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
     trap: c0=2/h, rhs=c0*q_n + qdot_n). Replaces the reference's
     fast_residual!/fast_jacobian! pair (`src/mna/precompile.jl:546-618`)."""
     spec = cc.spec
-    assemble, solve_J = _make_assemble_solve(cc, assemble, method)
+    assemble, solve_J, matvec = _make_assemble_solve(cc, assemble, method)
     atol = abstol_vector(cc)
     is_v = jnp.asarray(cc.classes == CLASS_V)
     max_iters = spec.max_newton_iters
@@ -155,7 +163,11 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
             bad = ~jnp.all(jnp.isfinite(x_new))
             x_new = jnp.where(bad, x, x_new)
             lim_new = jnp.where(bad, lim, lim_new)
-            return (x_new, lim_new, it + 1, Q, F, ok & ~bad, bad)
+            # first-order charge correction: Q was evaluated at the
+            # pre-update iterate; q(x_new) ~= Q + C dx (errors O(dx^2) so
+            # qdot = c0*(q - q_n) - ... stays clean even at tiny h)
+            Qc = Q + matvec(C, dx)
+            return (x_new, lim_new, it + 1, Qc, F, ok & ~bad, bad)
 
         init = (jnp.asarray(x0, DTYPE), lim0, jnp.int32(0), zq, zq,
                 jnp.asarray(False), jnp.asarray(False))

@@ -15,10 +15,10 @@ import numpy as np
 # circuit's time constants, not by Newton's path through a quasi-static
 # bistable point (which is numerically marginal by construction)
 DFF_MODELS = """
-.model n1 nmos (level=1 vto=0.8 kp=120u lambda=0.05 cgso=1.5f cgdo=1.5f
-+ cbd=2f cbs=2f)
-.model p1 pmos (level=1 vto=-0.9 kp=50u lambda=0.05 cgso=2f cgdo=2f
-+ cbd=2.5f cbs=2.5f)
+.model n1 nmos (level=1 vto=0.8 kp=120u lambda=0.05 cgso=5f cgdo=5f
++ cbd=10f cbs=10f)
+.model p1 pmos (level=1 vto=-0.9 kp=50u lambda=0.05 cgso=6f cgdo=6f
++ cbd=12f cbs=12f)
 """
 
 

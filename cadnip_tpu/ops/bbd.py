@@ -188,6 +188,25 @@ def global_row_sums(part: BBDPartition, T):
     return s[:part.n]
 
 
+def bbd_matvec(part: BBDPartition, T, v):
+    """y = M @ v for a BBD-form matrix tuple (D, E, F, B)."""
+    D, E, F, B = T
+    blk_rows, border_rows = row_maps(part)
+    vp = jnp.concatenate([v, jnp.zeros(1, v.dtype)])
+    vk = vp[jnp.asarray(blk_rows)]                  # [K, bs]
+    vb = vp[jnp.asarray(border_rows)]               # [nb+1]
+    bmap_j = jnp.asarray(part.bmap)
+    vbl = vb[bmap_j]                                # [K, nbl]
+    yk = jnp.einsum("kij,kj->ki", D, vk) + jnp.einsum("kij,kj->ki", E, vbl)
+    yb = B @ vb
+    yf = jnp.einsum("kij,kj->ki", F, vk)            # [K, nbl]
+    yb = yb.at[bmap_j.reshape(-1)].add(yf.reshape(-1))
+    y = jnp.zeros(part.n + 1, v.dtype)
+    y = y.at[jnp.asarray(blk_rows).reshape(-1)].add(yk.reshape(-1))
+    y = y.at[jnp.asarray(border_rows)].add(yb)
+    return y[:part.n]
+
+
 def make_bbd_solver(part: BBDPartition, method: str | None = None):
     """Build solve(D, E, F, B, f) -> dx for the BBD system.
 
