@@ -100,7 +100,7 @@ def bench_dff():
     return wall, nnewton / wall, ok
 
 
-def bench_dff_sweep(batch=4096):
+def bench_dff_sweep(batch=1024):
     import cadnip_tpu as ct
     from cadnip_tpu.models.dff import dff_netlist
 

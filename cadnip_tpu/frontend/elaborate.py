@@ -745,6 +745,13 @@ class Elaborator:
             if kl in ("level", "version"):
                 continue
             if kl in lmap:
+                if lmap[kl] in getattr(model, "structural_params", ()):
+                    self._warn_once(
+                        ("vastruct", model.name, kl),
+                        f"{model.name}: parameter {k!r} is structural "
+                        f"(laplace coefficients / loop bounds are compiled "
+                        f"at default values); the override does NOT affect "
+                        f"those uses")
                 kw[lmap[kl]] = float(v)
                 kw[lmap[kl] + "__given"] = 1.0
             else:

@@ -72,6 +72,9 @@ class DeviceModel:
     # optional operating-point info: (u, p, dyn) -> dict of named scalars
     # (reference op-info channel, `context.jl:1200-1342`)
     opvars: Optional[Callable] = None
+    # parameter names baked into structure (VA loop bounds, laplace
+    # coefficients): per-instance overrides cannot take effect -> warn
+    structural_params: tuple = ()
     # collapse internal node to terminal when a param is zero, etc. (future)
 
     @property

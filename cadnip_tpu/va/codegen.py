@@ -24,9 +24,14 @@ reference's `make_mna_device` (`src/vasim.jl:201-584`):
   * **noise**: white_noise/flicker_noise sites are collected in a second
     interpretation pass gated masks included (`vasim.jl:2825-2894`).
 
+`$table_model` (1-D/2-D gridded interpolation, loaded at compile time) and
+the laplace_nd/zp/np/zd filters (controllable-canonical state-space with
+extra internal unknowns) are supported.
+
 Current limitations (tracked for later rounds): `$limit` evaluates its
-first argument unlimited; loop trip counts must be host-evaluable from
-parameter defaults; no `$table_model`/laplace/absdelay yet.
+first argument unlimited; loop trip counts and laplace coefficients must be
+host-evaluable from parameter defaults; `absdelay` needs delay history
+(raises for now).
 """
 from __future__ import annotations
 
@@ -81,8 +86,10 @@ class VACompiler:
     layout, contribution branches, noise sites); the traced interpreter
     only ever produces fixed-shape computations."""
 
-    def __init__(self, mod: VAModule):
+    def __init__(self, mod: VAModule, include_dirs=()):
         self.mod = mod
+        self.include_dirs = list(include_dirs)
+        self._tables = {}
         self.ports = [p[0] for p in mod.ports]
         # unknown layout: ports, internal nodes, branch currents, idt states
         self.node_idx = {nm: i for i, nm in enumerate(self.ports)}
@@ -91,9 +98,19 @@ class VACompiler:
             self.node_idx[nm] = nxt
             nxt += 1
         self.n_nodes = nxt
-        # discover voltage-contribution branches and idt sites
+        # parameter order + numeric (structural) defaults come FIRST:
+        # laplace coefficient arrays and loop bounds may reference them
+        self.param_order = self._toposort_params()
+        self._ndefaults = None
+        self._ndefaults = self.numeric_defaults()
+        # parameters whose values are baked into structure (loop bounds,
+        # laplace coefficients): per-instance overrides cannot take effect
+        self.structural_params = set()
+        # discover voltage-contribution branches, idt and laplace sites
         self.vbranches = {}       # (p, n) -> current unknown index
         self.idt_sites = {}       # site id -> state unknown index
+        self.laplace_sites = {}   # site id -> (first state idx, n_states,
+        #                              num coeffs, den coeffs)
         self._discover(mod.analog)
         self.n_local = nxt = self.n_nodes
         for key in self.vbranches:
@@ -102,17 +119,17 @@ class VACompiler:
         for key in self.idt_sites:
             self.idt_sites[key] = nxt
             nxt += 1
+        for key, (num, den) in list(self.laplace_sites.items()):
+            m = len(den) - 1      # filter order
+            self.laplace_sites[key] = (nxt, m, num, den)
+            nxt += m
         self.n_local = nxt
         # noise sites (static enumeration)
         self.noise_sites = []     # [(kind, branch(p,n))]
         self._find_noise(mod.analog, None)
-        # parameter order for traced default resolution
-        self.param_order = self._toposort_params()
-        # numeric defaults double as STRUCTURAL values for loop bounds
-        # (loop trip counts must be static under jit; per-instance
-        # overrides of loop-bound parameters are not supported yet)
-        self._ndefaults = None
-        self._ndefaults = self.numeric_defaults()
+        # (numeric defaults double as STRUCTURAL values for loop bounds and
+        # laplace coefficients: those must be static under jit; per-instance
+        # overrides of structural parameters are not supported yet)
 
     # ------------------------------------------------------------ discovery
     def _branch_nets(self, nets):
@@ -140,12 +157,25 @@ class VACompiler:
                     self._discover([s])
             elif k == "event":
                 self._discover([st[1]])
-        # idt discovery over all expressions
+        # idt/laplace discovery over all expressions
         def walk_expr(e):
             if not isinstance(e, tuple):
                 return
             if e[0] == "call" and e[1] in ("idt", "idtmod"):
                 self.idt_sites.setdefault(id(e), None)
+            if e[0] == "call" and e[1] in ("laplace_nd", "laplace_zp",
+                                           "laplace_np", "laplace_zd"):
+                self.laplace_sites.setdefault(id(e),
+                                              self._laplace_coeffs(e))
+                for coeff in e[2][1:]:
+                    deps = set()
+                    self._expr_param_deps(coeff, deps)
+                    self.structural_params |= deps & set(
+                        self.mod.parameters)
+            if e[0] == "call" and e[1] == "absdelay":
+                raise VACompileError(
+                    f"module {self.mod.name}: absdelay requires "
+                    f"delay-history (DDE) support, not available yet")
             for sub in e[1:]:
                 if isinstance(sub, tuple):
                     walk_expr(sub)
@@ -174,6 +204,40 @@ class VACompiler:
 
         for st in stmts:
             walk_stmt(st)
+
+    def _laplace_coeffs(self, e):
+        """Host-evaluate laplace filter coefficient arrays.
+
+        laplace_nd(x, [n0, n1, ...], [d0, d1, ...]): numerator/denominator
+        polynomial coefficients in ascending powers of s (LRM 4.5.13);
+        laplace_zp(x, zeros, poles) with (re, im) pairs is converted to
+        coefficients host-side (reference `src/mna/laplace.jl`)."""
+        kind = e[1]
+        if len(e[2]) < 3:
+            raise VACompileError(f"{kind} needs (expr, num, den)")
+
+        def arr(a):
+            # coefficient arrays must be {…} literals; elements may use
+            # parameters (resolved at their structural/default values)
+            if isinstance(a, tuple) and a[0] == "array":
+                return [self._host_eval(x, self._ndefaults or {})
+                        for x in a[1]]
+            raise VACompileError(f"{kind}: coefficient arrays must be "
+                                 f"literal {{...}} arrays")
+
+        num = arr(e[2][1])
+        den = arr(e[2][2])
+        if kind in ("laplace_zp",):
+            num = _roots_pairs_to_poly(num)
+            den = _roots_pairs_to_poly(den)
+        elif kind == "laplace_np":
+            den = _roots_pairs_to_poly(den)
+        elif kind == "laplace_zd":
+            num = _roots_pairs_to_poly(num)
+        if len(num) >= len(den):
+            raise VACompileError(f"{kind}: numerator order must be below "
+                                 f"denominator order")
+        return (tuple(num), tuple(den))
 
     def _find_noise(self, stmts, branch):
         for st in stmts:
@@ -638,6 +702,34 @@ class VACompiler:
             env.contrib = env.contrib.at[j].add(
                 env.mask * (s * u[j] - x))
             return u[j]
+        if fn in ("laplace_nd", "laplace_zp", "laplace_np", "laplace_zd"):
+            # H(s) = N(s)/D(s) filter as controllable-canonical states:
+            # z_i' = z_{i+1} (i < m-1), D(d/dt) z = x; y = N(d/dt) z
+            # (reference `src/mna/laplace.jl` state-space stamping)
+            j0, m, num, den = self.laplace_sites[id(e)]
+            x = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+            for i in range(m - 1):
+                env.contrib = env.contrib.at[j0 + i].add(
+                    env.mask * (s * u[j0 + i] - u[j0 + i + 1]))
+            # last row: sum d_i z_i + d_m * s*z_{m-1} = x
+            acc = den[m] * s * u[j0 + m - 1]
+            for i in range(m):
+                acc = acc + den[i] * u[j0 + i]
+            env.contrib = env.contrib.at[j0 + m - 1].add(
+                env.mask * (acc - x))
+            y = 0.0
+            for i, ni in enumerate(num):
+                y = y + ni * u[j0 + i]
+            return y
+        if fn == "transition" or fn == "slew":
+            # quasi-static fallback: pass the value through (full slew
+            # filtering lands with event timing support)
+            return self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+        if fn == "absdelay":
+            # transport delay needs a history buffer (DDE) — not yet
+            # supported; pass through with a warning at compile time
+            raise VACompileError("absdelay requires delay-history support "
+                                 "(planned); not available yet")
         if fn == "limexp":
             return _limexp(self._eval_expr(e[2][0], env, u, p, dyn, eff, s))
         if fn == "white_noise":
@@ -695,6 +787,70 @@ class VACompiler:
         env.contrib = sub.contrib
         return sub.vars.get(fname, 0.0)
 
+    def _table_model(self, e, env, u, p, dyn, eff, s):
+        """$table_model(x[, y], "file"[, ctrl]): 1-D/2-D gridded linear
+        interpolation loaded once at compile time (reference
+        `src/mna/table_model.jl`, VA LRM 9.21)."""
+        import os
+        args = e[2]
+        coord_exprs = [a for a in args if a[0] != "str"]
+        fname = next((a[1] for a in args if a[0] == "str" and
+                      not set(a[1]) <= set("1LCI,ED")), None)
+        if fname is None:
+            raise VACompileError("$table_model needs a table file path")
+        key = ("table", fname)
+        if key not in self._tables:
+            path = fname
+            if not os.path.isabs(path):
+                for d in list(self.include_dirs) + ["."]:
+                    cand = os.path.join(d, fname)
+                    if os.path.exists(cand):
+                        path = cand
+                        break
+            rows = []
+            with open(path) as fh:
+                for line in fh:
+                    line = line.split("#")[0].split("%")[0].strip()
+                    if line:
+                        rows.append([float(v) for v in line.split()])
+            data = np.asarray(rows)
+            self._tables[key] = data
+        data = self._tables[key]
+        ndim = data.shape[1] - 1
+        if len(coord_exprs) != ndim:
+            raise VACompileError(
+                f"$table_model: table has {ndim} coordinate column(s), "
+                f"got {len(coord_exprs)} arguments")
+        coords = [self._eval_expr(a, env, u, p, dyn, eff, s)
+                  for a in coord_exprs]
+        if ndim == 1:
+            order = np.argsort(data[:, 0])
+            xs = jnp.asarray(data[order, 0])
+            vs = jnp.asarray(data[order, 1])
+            return jnp.interp(coords[0], xs, vs)
+        if ndim == 2:
+            xs = np.unique(data[:, 0])
+            ys = np.unique(data[:, 1])
+            grid = np.full((len(xs), len(ys)), np.nan)
+            xi = np.searchsorted(xs, data[:, 0])
+            yi = np.searchsorted(ys, data[:, 1])
+            grid[xi, yi] = data[:, 2]
+            if np.isnan(grid).any():
+                raise VACompileError("$table_model: 2-D table must be a "
+                                     "full rectilinear grid")
+            xs_j, ys_j, g_j = (jnp.asarray(xs), jnp.asarray(ys),
+                               jnp.asarray(grid))
+            x, y = coords
+            ix = jnp.clip(jnp.searchsorted(xs_j, x) - 1, 0, len(xs) - 2)
+            iy = jnp.clip(jnp.searchsorted(ys_j, y) - 1, 0, len(ys) - 2)
+            wx = jnp.clip((x - xs_j[ix]) / (xs_j[ix + 1] - xs_j[ix]), 0, 1)
+            wy = jnp.clip((y - ys_j[iy]) / (ys_j[iy + 1] - ys_j[iy]), 0, 1)
+            return ((1 - wx) * (1 - wy) * g_j[ix, iy]
+                    + wx * (1 - wy) * g_j[ix + 1, iy]
+                    + (1 - wx) * wy * g_j[ix, iy + 1]
+                    + wx * wy * g_j[ix + 1, iy + 1])
+        raise VACompileError("$table_model supports 1-D and 2-D tables")
+
     def _sysfn(self, e, env, u, p, dyn, eff, s):
         name = e[1]
         if name == "$temperature":
@@ -718,6 +874,8 @@ class VACompiler:
             if key == "sourceScaleFactor":
                 return dyn.srcfact
             return default
+        if name == "$table_model":
+            return self._table_model(e, env, u, p, dyn, eff, s)
         if name == "$limit":
             # unlimited evaluation (limiting state arrives a later round)
             return self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
@@ -727,6 +885,20 @@ class VACompiler:
         if name == "$mfactor":
             return 1.0
         raise VACompileError(f"unknown system function {name!r}")
+
+
+def _roots_pairs_to_poly(pairs):
+    """Flat [re0, im0, re1, im1, ...] roots -> real polynomial coefficients
+    in ascending powers of s: prod (s - (re + j*im))."""
+    import numpy as _np
+    roots = [complex(pairs[i], pairs[i + 1])
+             for i in range(0, len(pairs), 2)]
+    poly = _np.array([1.0 + 0j])
+    for r in roots:
+        poly = _np.convolve(poly, _np.array([-r, 1.0 + 0j]))
+    if _np.max(_np.abs(poly.imag)) > 1e-9 * max(_np.max(_np.abs(poly)), 1):
+        raise VACompileError("laplace roots must come in conjugate pairs")
+    return [float(c) for c in poly.real]
 
 
 _VA_CONSTANTS = {
@@ -775,9 +947,9 @@ def _traced_binop(op, a, b):
 # ---------------------------------------------------------------------------
 # public API
 
-def compile_va_module(mod: VAModule) -> DeviceModel:
+def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
     """VAModule -> DeviceModel (the `make_mna_device` analogue)."""
-    comp = VACompiler(mod)
+    comp = VACompiler(mod, include_dirs=include_dirs)
     internals = []
     for nm in mod.internal_nodes:
         internals.append((nm, CLASS_V))
@@ -786,6 +958,10 @@ def compile_va_module(mod: VAModule) -> DeviceModel:
         internals.append((f"i_{pn}_{nn}" if nn else f"i_{pn}", CLASS_I))
     for sid, j in sorted(comp.idt_sites.items(), key=lambda kv: kv[1]):
         internals.append((f"idt{j}", CLASS_V))
+    for sid, (j0, m, num, den) in sorted(comp.laplace_sites.items(),
+                                         key=lambda kv: kv[1][0]):
+        for i in range(m):
+            internals.append((f"lp{j0}_{i}", CLASS_V))
     noise_pack = comp.make_noise()
     noise_fn, flicker_fn, noise_pairs = (None, None, ())
     if noise_pack[0] is not None:
@@ -814,13 +990,15 @@ def compile_va_module(mod: VAModule) -> DeviceModel:
         flicker=flicker_fn,
         noise_pairs=noise_pairs,
         opvars=opvars_fn,
+        structural_params=tuple(sorted(comp.structural_params)),
     )
 
 
 def compile_va(text: str, include_dirs=()) -> dict:
     """VA source -> {module_name: DeviceModel}."""
     mods = parse_va(text, include_dirs)
-    return {m.name: compile_va_module(m) for m in mods}
+    return {m.name: compile_va_module(m, include_dirs=include_dirs)
+            for m in mods}
 
 
 def load_va_file(path: str) -> dict:

@@ -572,6 +572,14 @@ class Parser:
             e = self.expr()
             self.expect(")")
             return e
+        if val == "{":
+            items = []
+            if not self.at("}"):
+                items.append(self.expr())
+                while self.accept(","):
+                    items.append(self.expr())
+            self.expect("}")
+            return ("array", items)
         if kind == "sysid":
             args = []
             if self.accept("("):
