@@ -110,7 +110,7 @@ def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
 
 def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                      method: str | None = None, integ: str = "trap",
-                     trace: bool = False):
+                     trace: bool = False, save_window: int = 0):
     """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
     hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced.
 
@@ -130,23 +130,46 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
     spec = cc.spec
     n = cc.n
 
+    W = save_window
+
     def run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax, hmin,
             bp_times, save_ts, diff_mask):
         n_bp = bp_times.shape[0]
-        xs = jnp.zeros((n_save, n), DTYPE)
+        # W extra trash rows so windowed writes never clamp at the end
+        xs = jnp.zeros((n_save + max(W, 0), n), DTYPE)
+        save_ts_pad = jnp.concatenate(
+            [save_ts, jnp.full(max(W, 0), jnp.inf, DTYPE)])
 
         def save_points(si, xs, t_old, x_old, t_new, x_new):
             """Fill every grid point in (t_old, t_new] by linear
-            interpolation — vectorized masked write over the whole grid
-            (one fused select; no inner while-loop, which would nest and
-            blow up XLA:TPU compile time)."""
-            mask = (save_ts > t_old + 1e-30) & (save_ts <= t_new + 1e-30)
+            interpolation. Two strategies (no inner while-loop — that
+            nests and blows up XLA:TPU compile time):
+              * W == 0: one masked write over the whole grid
+              * W > 0: a dynamic-slice window of W rows at the save cursor
+                (a step is guaranteed to cross < W grid points because the
+                caller caps hmax at (W-2)*save_dt) — far less memory
+                traffic per iteration for long grids / wide sweeps."""
+            if W <= 0:
+                mask = (save_ts > t_old + 1e-30) & (save_ts <= t_new + 1e-30)
+                w = jnp.where(t_new > t_old,
+                              (save_ts - t_old) /
+                              jnp.maximum(t_new - t_old, 1e-300), 1.0)
+                w = jnp.clip(w, 0.0, 1.0)
+                xi = x_old[None, :] + w[:, None] * (x_new - x_old)[None, :]
+                xs = jnp.where(mask[:, None], xi, xs)
+                return si + jnp.sum(mask, dtype=jnp.int32), xs
+            si = jnp.asarray(si, jnp.int32)
+            ts_win = jax.lax.dynamic_slice(save_ts_pad, (si,), (W,))
+            mask = (ts_win > t_old + 1e-30) & (ts_win <= t_new + 1e-30)
             w = jnp.where(t_new > t_old,
-                          (save_ts - t_old) / jnp.maximum(t_new - t_old,
-                                                          1e-300), 1.0)
+                          (ts_win - t_old) /
+                          jnp.maximum(t_new - t_old, 1e-300), 1.0)
             w = jnp.clip(w, 0.0, 1.0)
             xi = x_old[None, :] + w[:, None] * (x_new - x_old)[None, :]
-            xs = jnp.where(mask[:, None], xi, xs)
+            zero = jnp.int32(0)
+            win_old = jax.lax.dynamic_slice(xs, (si, zero), (W, n))
+            win = jnp.where(mask[:, None], xi, win_old)
+            xs = jax.lax.dynamic_update_slice(xs, win, (si, zero))
             return si + jnp.sum(mask, dtype=jnp.int32), xs
 
         def setup_trial(s):
@@ -349,9 +372,10 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         stats = TranStats(naccept=out["naccept"], nreject=out["nreject"],
                           nnewton=out["nnewton"],
                           fail=out["fail"] | ran_out)
+        xs_out = out["xs"][:n_save]
         if trace:
-            return out["xs"], stats, (out["trace"], out["ti"])
-        return out["xs"], stats
+            return xs_out, stats, (out["trace"], out["ti"])
+        return xs_out, stats
 
     return run
 
@@ -410,11 +434,20 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
 
     bp = collect_breakpoints(cc, tstop)
     bp = bp[bp > t0]
+    # windowed saving: a step crosses at most ceil(dtmax/save_dt)+1 grid
+    # points; when that window is much smaller than the grid, write only a
+    # W-row dynamic slice per iteration instead of the whole grid
+    save_np = np.asarray(save_ts)
+    dt_min = float(np.min(np.diff(save_np))) if len(save_np) > 1 else dtmax
+    W = int(np.ceil(dtmax / max(dt_min, 1e-300))) + 2
+    save_window = W if W <= n_save // 4 else 0
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
-           trace, None if _vmap_axes is None else str(_vmap_axes))
+           trace, save_window,
+           None if _vmap_axes is None else str(_vmap_axes))
     if key not in cc.cache:
         runner = make_tran_runner(cc, n_save, max_steps, method=method,
-                                  integ=integ, trace=trace)
+                                  integ=integ, trace=trace,
+                                  save_window=save_window)
         rhs = make_rhs_assembler(cc)
         if cc.bbd is not None:
             from ..mna.bbd_assemble import make_bbd_assembler
