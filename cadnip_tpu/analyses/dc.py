@@ -96,12 +96,18 @@ def _get_dc_solver(cc: CompiledCircuit):
 
 
 def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
-       time: float = 0.0) -> DCSolution:
-    """DC operating point with the full robustness chain."""
+       time: float = 0.0, nodeset: dict | None = None) -> DCSolution:
+    """DC operating point with the full robustness chain.
+
+    nodeset: {node: voltage} initial-guess seeding (SPICE .nodeset)."""
     if params is None:
         params = cc.params0()
     if x0 is None:
         x0 = jnp.zeros(cc.n, DTYPE)
+    if nodeset:
+        x0 = jnp.asarray(x0, DTYPE)
+        for node, v in nodeset.items():
+            x0 = x0.at[cc.index_of(str(node))].set(float(v))
     dyn = cc.spec.dyn(mode=mode, time=time)
     r = _get_dc_solver(cc)(x0, params, dyn)
     return DCSolution(cc, r.x, r.converged, r.iters, r.resnorm,

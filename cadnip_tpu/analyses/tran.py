@@ -80,6 +80,22 @@ class TranSolution:
                 f"newton={np.asarray(s.nnewton)}, "
                 f"fail={np.asarray(s.fail)})")
 
+    def save(self, path):
+        """Persist waveforms + name table to .npz."""
+        names = sorted(self.cc.names, key=self.cc.names.get)
+        np.savez_compressed(path, ts=np.asarray(self.ts),
+                            xs=np.asarray(self.xs),
+                            names=np.asarray(names, dtype=object),
+                            allow_pickle=True)
+
+    @staticmethod
+    def load(path):
+        """Load saved waveforms: returns (ts, {name: values})."""
+        z = np.load(path, allow_pickle=True)
+        names = list(z["names"])
+        xs = z["xs"]
+        return z["ts"], {nm: xs[..., i] for i, nm in enumerate(names)}
+
 
 def collect_breakpoints(cc: CompiledCircuit, tstop: float) -> np.ndarray:
     """Gather waveform kink times from every source in the circuit."""
@@ -437,10 +453,14 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     # windowed saving: a step crosses at most ceil(dtmax/save_dt)+1 grid
     # points; when that window is much smaller than the grid, write only a
     # W-row dynamic slice per iteration instead of the whole grid
+    # windowed saving wins on CPU (7x on the DFF MC sweep: small
+    # read-modify-write beats rewriting the whole grid); on TPU the dense
+    # masked full-grid write is faster than vmapped dynamic slices
     save_np = np.asarray(save_ts)
     dt_min = float(np.min(np.diff(save_np))) if len(save_np) > 1 else dtmax
     W = int(np.ceil(dtmax / max(dt_min, 1e-300))) + 2
-    save_window = W if W <= n_save // 4 else 0
+    use_window = (W <= n_save // 4) and jax.default_backend() == "cpu"
+    save_window = W if use_window else 0
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
            trace, save_window,
            None if _vmap_axes is None else str(_vmap_axes))

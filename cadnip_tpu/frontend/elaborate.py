@@ -1112,7 +1112,7 @@ def simulate(source, *, include_dirs=(), section=None,
             elif fld[0] == "word":
                 words.append(fld[1])
         if an.kind == "op":
-            sol = dc_run(cc)
+            sol = dc_run(cc, nodeset=el.options.get("nodeset"))
         elif an.kind == "tran":
             # .tran tstep tstop [tstart [tmax]] [uic]
             tstep = vals[0]
