@@ -163,13 +163,43 @@ def dcsweep(cc: CompiledCircuit, sweep, params=None, *, mode=MODE_DCOP,
     return sol
 
 
-def transweep(cc: CompiledCircuit, sweep, tspan, params=None, **tran_kw):
+def transweep(cc: CompiledCircuit, sweep, tspan, params=None, *,
+              chunk: int | None = None, **tran_kw):
     """Vmapped transient sweep (corners / Monte Carlo): every sweep point
-    integrates with its own adaptive steps inside one vmapped while_loop."""
+    integrates with its own adaptive steps inside one vmapped while_loop.
+
+    chunk: split very wide sweeps into sequential vmapped chunks of this
+    size (same compiled program reused per chunk) — bounds device memory
+    and keeps each launch within TPU limits. The last chunk is padded by
+    repeating the final point."""
     from .tran import tran
 
     table = sweep.table() if hasattr(sweep, "table") else {
         k: np.asarray(v) for k, v in sweep.items()}
+    n_pts = len(next(iter(table.values())))
+    if chunk is not None and n_pts > chunk:
+        sols = []
+        for s0 in range(0, n_pts, chunk):
+            sub = {k: v[s0:s0 + chunk] for k, v in table.items()}
+            pad = chunk - len(next(iter(sub.values())))
+            if pad:
+                sub = {k: np.concatenate([v, np.repeat(v[-1:], pad)])
+                       for k, v in sub.items()}
+            sols.append(transweep(cc, sub, tspan, params, **tran_kw))
+        first = sols[0]
+        first.xs = np.concatenate(
+            [np.asarray(s.xs) for s in sols], axis=0)[:n_pts]
+        from .tran import TranStats
+        first.stats = TranStats(
+            *[np.concatenate([np.atleast_1d(np.asarray(getattr(s.stats, f)))
+                              for s in sols])[:n_pts]
+              for f in TranStats._fields])
+        first.op_converged = np.concatenate(
+            [np.atleast_1d(np.asarray(s.op_converged))
+             for s in sols])[:n_pts]
+        first.table = table
+        return first
+
     bparams, axes = batch_params(cc, table, params)
     # vmap the full pipeline (op + runner) over the batched params
     sol = tran(cc, tspan, params=bparams, _vmap_axes=axes, **tran_kw)

@@ -121,3 +121,17 @@ def test_dc_sensitivity_nonlinear_fd_check():
     p_lo = cc.alter(cc.params0(), **{"r1.r": 1e3 - h})
     fd = (float(dc(cc, p_hi)["d"]) - float(dc(cc, p_lo)["d"])) / (2 * h)
     assert float(sens["r1.r"][i_d]) == pytest.approx(fd, rel=1e-4)
+
+
+def test_transweep_chunked_matches_full():
+    cir = Circuit("rcs2")
+    cir.V("vs", "in", "0", wave=Pulse(0.0, 1.0, tr=1e-9))
+    cir.R("r1", "in", "out", 1e3)
+    cir.C("c1", "out", "0", 1e-6)
+    cc = cir.compile()
+    rs = np.linspace(0.5e3, 2e3, 7)   # odd count: exercises padding
+    full = transweep(cc, {"r1.r": rs}, (0, 1e-3), dt=2e-6)
+    chk = transweep(cc, {"r1.r": rs}, (0, 1e-3), dt=2e-6, chunk=3)
+    assert np.allclose(np.asarray(full.xs), np.asarray(chk.xs))
+    assert np.asarray(chk.xs).shape[0] == 7
+    assert np.all(np.asarray(chk.converged))
