@@ -44,7 +44,8 @@ import numpy as np
 
 from ..mna.devices import CLASS_I, CLASS_V, DeviceModel
 from ..mna.spec import KB, QE, MODE_AC, MODE_DCOP, MODE_TRAN
-from .parser import VAModule, VAParseError, parse_va
+from .parser import (VAFunction, VAModule, VAParam,
+                     VAParseError, parse_va)
 
 
 class VACompileError(ValueError):
@@ -945,6 +946,147 @@ def _traced_binop(op, a, b):
 
 
 # ---------------------------------------------------------------------------
+# module hierarchy: flatten child instantiations into the parent by AST
+# inlining (the reference emits nested stamp! calls with hierarchical
+# instance naming, `vasim.jl:418-461`; here structure must be static, so we
+# inline before compilation)
+
+def _rename_expr(e, net_map, sym_map):
+    if not isinstance(e, tuple):
+        return e
+    tag = e[0]
+    if tag == "name":
+        return ("name", sym_map.get(e[1], e[1]))
+    if tag == "acc":
+        return ("acc", e[1], tuple(net_map.get(n, n) for n in e[2]))
+    if tag == "call":
+        return ("call", sym_map.get(e[1], e[1]),
+                [_rename_expr(a, net_map, sym_map) for a in e[2]])
+    if tag == "sysfn":
+        return ("sysfn", e[1],
+                [_rename_expr(a, net_map, sym_map) for a in e[2]])
+    if tag in ("bin",):
+        return ("bin", e[1], _rename_expr(e[2], net_map, sym_map),
+                _rename_expr(e[3], net_map, sym_map))
+    if tag == "un":
+        return ("un", e[1], _rename_expr(e[2], net_map, sym_map))
+    if tag == "cond":
+        return tuple(["cond"] + [_rename_expr(x, net_map, sym_map)
+                                 for x in e[1:]])
+    if tag == "array":
+        return ("array", [_rename_expr(x, net_map, sym_map) for x in e[1]])
+    if tag == "index":
+        return ("index", sym_map.get(e[1], e[1]),
+                _rename_expr(e[2], net_map, sym_map))
+    return e
+
+
+def _rename_stmt(st, net_map, sym_map):
+    k = st[0]
+    if k == "block":
+        return ("block", [_rename_stmt(s, net_map, sym_map)
+                          for s in st[1]])
+    if k == "assign":
+        return ("assign", sym_map.get(st[1], st[1]),
+                _rename_expr(st[2], net_map, sym_map))
+    if k == "assign_idx":
+        return ("assign_idx", sym_map.get(st[1], st[1]),
+                _rename_expr(st[2], net_map, sym_map),
+                _rename_expr(st[3], net_map, sym_map))
+    if k == "contrib":
+        return ("contrib", st[1],
+                tuple(net_map.get(n, n) for n in st[2]),
+                _rename_expr(st[3], net_map, sym_map))
+    if k == "if":
+        return ("if", _rename_expr(st[1], net_map, sym_map),
+                _rename_stmt(st[2], net_map, sym_map),
+                None if st[3] is None else
+                _rename_stmt(st[3], net_map, sym_map))
+    if k == "for":
+        return ("for", _rename_stmt(st[1], net_map, sym_map),
+                _rename_expr(st[2], net_map, sym_map),
+                _rename_stmt(st[3], net_map, sym_map),
+                _rename_stmt(st[4], net_map, sym_map))
+    if k == "while":
+        return ("while", _rename_expr(st[1], net_map, sym_map),
+                _rename_stmt(st[2], net_map, sym_map))
+    if k == "repeat":
+        return ("repeat", _rename_expr(st[1], net_map, sym_map),
+                _rename_stmt(st[2], net_map, sym_map))
+    if k == "case":
+        return ("case", _rename_expr(st[1], net_map, sym_map),
+                [(None if m is None else
+                  [_rename_expr(x, net_map, sym_map) for x in m],
+                  _rename_stmt(s, net_map, sym_map)) for m, s in st[2]])
+    if k == "sys":
+        return ("sys", st[1], [_rename_expr(a, net_map, sym_map)
+                               for a in st[2]])
+    if k == "event":
+        return ("event", _rename_stmt(st[1], net_map, sym_map))
+    return st
+
+
+def inline_hierarchy(mod: VAModule, lib: dict) -> VAModule:
+    """Flatten child module instantiations into `mod` (recursively).
+
+    Child nets map: ports -> parent nets; internals get '<inst>_' prefixes;
+    child parameters become '<inst>_<p>' parent parameters whose defaults
+    are the instantiation overrides (evaluated in the parent namespace) or
+    the child defaults with child-param references renamed."""
+    if not mod.instances:
+        return mod
+    import copy
+    out = copy.deepcopy(mod)
+    out.instances = []
+    for (subname, inst, nets, overrides) in mod.instances:
+        if subname not in lib:
+            raise VACompileError(f"{mod.name}: unknown module {subname!r} "
+                                 f"instantiated as {inst!r}")
+        sub = inline_hierarchy(lib[subname], lib)
+        sub_ports = [p[0] for p in sub.ports]
+        if len(nets) != len(sub_ports):
+            raise VACompileError(
+                f"{mod.name}.{inst}: {subname} has {len(sub_ports)} ports, "
+                f"got {len(nets)}")
+        net_map = dict(zip(sub_ports, nets))
+        for nn in sub.internal_nodes:
+            net_map[nn] = f"{inst}_{nn}"
+            out.internal_nodes.append(net_map[nn])
+        sym_map = {}
+        for pn, par in sub.parameters.items():
+            new = f"{inst}_{pn}"
+            sym_map[pn] = new
+        for vn in sub.variables:
+            sym_map[vn] = f"{inst}_{vn}"
+        for fn in sub.functions:
+            sym_map[fn] = f"{inst}_{fn}"
+        for pn, par in sub.parameters.items():
+            new = sym_map[pn]
+            if pn in overrides:
+                default = overrides[pn]   # parent-namespace expression
+            else:
+                default = _rename_expr(par.default, {}, sym_map)
+            out.parameters[new] = VAParam(new, par.ptype, default,
+                                          par.ranges, par.units, par.desc)
+        for vn, vinfo in sub.variables.items():
+            out.variables[sym_map[vn]] = vinfo
+        for fn, f in sub.functions.items():
+            out.functions[sym_map[fn]] = VAFunction(
+                sym_map[fn], f.ftype,
+                [i for i in f.inputs], dict(f.locals),
+                [_rename_stmt(s,
+                              {}, dict(sym_map, **{fn: sym_map[fn]}))
+                 for s in f.body])
+        for bn, (p, n) in sub.branches.items():
+            out.branches[f"{inst}_{bn}"] = (net_map.get(p, p),
+                                            net_map.get(n, n) if n else None)
+            net_map[bn] = f"{inst}_{bn}"
+        for st in sub.analog:
+            out.analog.append(_rename_stmt(st, net_map, sym_map))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
@@ -995,9 +1137,12 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
 
 
 def compile_va(text: str, include_dirs=()) -> dict:
-    """VA source -> {module_name: DeviceModel}."""
+    """VA source -> {module_name: DeviceModel}. Multi-module files may
+    instantiate sibling modules; hierarchy is flattened by inlining."""
     mods = parse_va(text, include_dirs)
-    return {m.name: compile_va_module(m, include_dirs=include_dirs)
+    lib = {m.name: m for m in mods}
+    return {m.name: compile_va_module(inline_hierarchy(m, lib),
+                                      include_dirs=include_dirs)
             for m in mods}
 
 

@@ -83,6 +83,8 @@ class VAModule:
     internal_nodes: list              # electrical nets not in ports
     analog: list                      # statements
     functions: dict                   # name -> VAFunction
+    # child module instantiations: (submodule, inst_name, nets, overrides)
+    instances: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -291,6 +293,31 @@ class Parser:
             while self.peek()[1] != ";":
                 self.next()
             self.expect(";")
+        elif (t[0] == "id" and w not in KEYWORDS
+              and (self.peek(1)[0] == "id" or self.peek(1)[1] == "#")):
+            # module instantiation: sub [#(.p(v), ...)] inst (n1, n2, ...);
+            sub = self.ident()
+            overrides = {}
+            if self.accept("#"):
+                self.expect("(")
+                while not self.at(")"):
+                    self.expect(".")
+                    pname = self.ident()
+                    self.expect("(")
+                    overrides[pname] = self.expr()
+                    self.expect(")")
+                    self.accept(",")
+                self.expect(")")
+            inst = self.ident()
+            self.expect("(")
+            nets = []
+            if not self.at(")"):
+                nets.append(self.ident())
+                while self.accept(","):
+                    nets.append(self.ident())
+            self.expect(")")
+            self.expect(";")
+            m.instances.append((sub, inst, nets, overrides))
         else:
             raise VAParseError(f"line {t[2]}: unexpected {w!r} in module")
 

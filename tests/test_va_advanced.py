@@ -91,3 +91,55 @@ endmodule
     v = np.asarray(sol["out"])
     expect = 1.0 - np.exp(-w0 * sol.ts)
     assert np.max(np.abs(v - expect)) < 5e-3
+
+
+def test_va_module_hierarchy():
+    # parent instantiates two child resistor modules -> divider
+    src = """
+module res(p, n);
+  inout p, n; electrical p, n;
+  parameter real r = 1k;
+  analog I(p, n) <+ V(p, n) / r;
+endmodule
+
+module divider(hi, lo, mid);
+  inout hi, lo, mid; electrical hi, lo, mid;
+  parameter real rtop = 1k;
+  res #(.r(rtop)) rt(hi, mid);
+  res #(.r(3k)) rb(mid, lo);
+endmodule
+"""
+    models = compile_va(src)
+    cir = ct.Circuit("vah")
+    cir.V("v1", "in", "0", dc=4.0)
+    cir.add(models["divider"], "x1", ("in", "0", "m"))
+    sol = ct.dc(cir.compile())
+    assert float(sol["m"]) == pytest.approx(3.0, rel=1e-9)
+
+
+def test_va_hierarchy_internal_nodes():
+    # child with an internal node: names are prefixed per instance
+    src = """
+module halfpi(a, b);
+  inout a, b; electrical a, b, mid;
+  analog begin
+    I(a, mid) <+ V(a, mid) / 100;
+    I(mid, b) <+ V(mid, b) / 300;
+  end
+endmodule
+
+module two(x, y);
+  inout x, y; electrical x, y, j;
+  halfpi u1(x, j);
+  halfpi u2(j, y);
+endmodule
+"""
+    models = compile_va(src)
+    cir = ct.Circuit("vah2")
+    cir.V("v1", "in", "0", dc=8.0)
+    cir.add(models["two"], "x1", ("in", "0"))
+    sol = ct.dc(cir.compile())
+    # total 800 ohm chain: 100/300/100/300 -> node j at 8*(400/800)=4
+    assert float(sol["x1#j"]) == pytest.approx(4.0, rel=1e-9)
+    assert float(sol["x1#u1_mid"]) == pytest.approx(8 - 8 * 100 / 800,
+                                                    rel=1e-9)
