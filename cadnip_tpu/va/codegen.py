@@ -125,6 +125,11 @@ class VACompiler:
             self.laplace_sites[key] = (nxt, m, num, den)
             nxt += m
         self.n_local = nxt
+        # $limit sites: [(nets tuple, limiter name)] — become a device
+        # limit() hook applying pnjlim-style limiting to those branch
+        # voltages (reference $limit slots, `vasim.jl:3012-3017`)
+        self.limit_sites = []
+        self._find_limits(mod.analog)
         # noise sites (static enumeration)
         self.noise_sites = []     # [(kind, branch(p,n))]
         self._find_noise(mod.analog, None)
@@ -399,6 +404,78 @@ class VACompiler:
             return f, q
 
         return residual
+
+    def _find_limits(self, stmts):
+        def walk_expr(e):
+            if not isinstance(e, tuple):
+                return
+            if e[0] == "sysfn" and e[1] == "$limit" and e[2]:
+                acc = e[2][0]
+                fn = (e[2][1][1] if len(e[2]) > 1 and e[2][1][0] == "str"
+                      else "pnjlim")
+                if acc[0] == "acc" and acc[1] == "V":
+                    key = (self._branch_nets(acc[2]), fn)
+                    if key not in self.limit_sites:
+                        self.limit_sites.append(key)
+            for sub in e[1:]:
+                if isinstance(sub, tuple):
+                    walk_expr(sub)
+                elif isinstance(sub, list):
+                    for x in sub:
+                        walk_expr(x)
+
+        def walk(st):
+            for sub in st[1:]:
+                if isinstance(sub, tuple) and sub and \
+                        isinstance(sub[0], str) and sub[0] in (
+                            "block", "if", "for", "while", "repeat",
+                            "case", "contrib", "assign", "assign_idx",
+                            "sys", "event"):
+                    walk(sub)
+                elif isinstance(sub, tuple):
+                    walk_expr(sub)
+                elif isinstance(sub, list):
+                    for x in sub:
+                        if isinstance(x, tuple) and x and \
+                                isinstance(x[0], str) and x[0] in (
+                                    "block", "if", "contrib", "assign"):
+                            walk(x)
+                        else:
+                            walk_expr(x)
+
+        for st in stmts:
+            walk(st)
+
+    def make_limit(self):
+        """Device-level limit() from $limit sites: pnjlim each referenced
+        branch voltage against its previous evaluation (the assembler
+        carries the limiter state and anchors the companion there)."""
+        if not self.limit_sites:
+            return None
+        from ..mna.devices import pnjlim
+        sites = []
+        for (nets, fn) in self.limit_sites:
+            p = self.node_idx.get(nets[0])
+            n = self.node_idx.get(nets[1]) if nets[1] else None
+            if p is not None:
+                sites.append((p, n, fn))
+        if not sites:
+            return None
+
+        def limit(u, u_prev, p_params, dyn):
+            for (pi, ni, fn) in sites:
+                v_new = u[pi] - (u[ni] if ni is not None else 0.0)
+                v_old = u_prev[pi] - (u_prev[ni] if ni is not None else 0.0)
+                vt = dyn.vt
+                # vcrit from the typical junction scale; models that need
+                # exact is-based vcrit still converge (pnjlim only damps)
+                vcrit = vt * jnp.log(vt / (1.41421356 * 1e-14))
+                v_lim = pnjlim(v_new, v_old, vt, vcrit)
+                base = u[ni] if ni is not None else 0.0
+                u = u.at[pi].set(base + v_lim)
+            return u
+
+        return limit
 
     def make_noise(self):
         comp = self
@@ -1126,6 +1203,7 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
         name=f"va:{mod.name}",
         terminals=tuple(comp.ports),
         residual=comp.make_residual(),
+        limit=comp.make_limit(),
         internals=tuple(internals),
         defaults=comp.numeric_defaults(),
         noise=noise_fn,

@@ -143,3 +143,28 @@ endmodule
     assert float(sol["x1#j"]) == pytest.approx(4.0, rel=1e-9)
     assert float(sol["x1#u1_mid"]) == pytest.approx(8 - 8 * 100 / 800,
                                                     rel=1e-9)
+
+
+def test_va_dollar_limit_accelerates_convergence():
+    # exponential junction with $limit: must converge from a cold start
+    src = """
+module vadiode_lim(a, c);
+  inout a, c; electrical a, c;
+  parameter real is_ = 1e-15;
+  analog I(a, c) <+ is_ * (limexp($limit(V(a, c), "pnjlim", $vt, 0.7)
+                                  / $vt) - 1.0);
+endmodule
+"""
+    model = compile_va(src)["vadiode_lim"]
+    assert model.limit is not None
+    cir = ct.Circuit("valim")
+    cir.V("v1", "in", "0", dc=30.0)
+    prev = "in"
+    for k in range(10):   # stiff series chain, hopeless without limiting
+        nxt = f"n{k}"
+        cir.add(model, f"d{k}", (prev, nxt))
+        prev = nxt
+    cir.R("rl", prev, "0", 10.0)
+    sol = ct.dc(cir.compile())
+    assert bool(sol.converged)
+    assert 0.0 < float(sol["n4"]) < 30.0
