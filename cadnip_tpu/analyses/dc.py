@@ -53,9 +53,16 @@ class DCSolution:
         g = self.cc.groups[gi]
         params = self.params if self.params is not None \
             else self.cc.params0()
+        if jnp.asarray(self.x).ndim != 1:
+            raise ValueError(
+                "per-device evaluation needs an unbatched solution; index "
+                "one sweep lane first")
         xp = pad_state(jnp.asarray(self.x))
-        u = xp[..., jnp.asarray(g.conn[slot])]
-        p = jax.tree.map(lambda a: a[..., slot], params[gi])
+        u = xp[jnp.asarray(g.conn[slot])]
+        # Params are packed with the instance axis FIRST ([n_inst] scalars,
+        # [n_inst, width] waveform coefficient tables) — slice axis 0, not
+        # the trailing axis, so 2-D packed params keep their row intact.
+        p = jax.tree.map(lambda a: jnp.asarray(a)[slot], params[gi])
         dyn = self.cc.spec.dyn()
         return g, u, p, dyn
 

@@ -183,19 +183,22 @@ def transweep(cc: CompiledCircuit, sweep, tspan, params=None, *,
             sub = {k: v[s0:s0 + chunk] for k, v in table.items()}
             pad = chunk - len(next(iter(sub.values())))
             if pad:
-                sub = {k: np.concatenate([v, np.repeat(v[-1:], pad)])
+                sub = {k: np.concatenate([v, np.repeat(v[-1:], pad,
+                                                       axis=0)])
                        for k, v in sub.items()}
             sols.append(transweep(cc, sub, tspan, params, **tran_kw))
         first = sols[0]
-        first.xs = np.concatenate(
-            [np.asarray(s.xs) for s in sols], axis=0)[:n_pts]
+        # keep jax arrays so downstream code (block_until_ready etc.)
+        # behaves the same as on the unchunked path
+        first.xs = jnp.concatenate(
+            [jnp.asarray(s.xs) for s in sols], axis=0)[:n_pts]
         from .tran import TranStats
         first.stats = TranStats(
-            *[np.concatenate([np.atleast_1d(np.asarray(getattr(s.stats, f)))
-                              for s in sols])[:n_pts]
+            *[jnp.concatenate([jnp.atleast_1d(jnp.asarray(
+                getattr(s.stats, f))) for s in sols])[:n_pts]
               for f in TranStats._fields])
-        first.op_converged = np.concatenate(
-            [np.atleast_1d(np.asarray(s.op_converged))
+        first.op_converged = jnp.concatenate(
+            [jnp.atleast_1d(jnp.asarray(s.op_converged))
              for s in sols])[:n_pts]
         first.table = table
         return first

@@ -85,13 +85,12 @@ class TranSolution:
         names = sorted(self.cc.names, key=self.cc.names.get)
         np.savez_compressed(path, ts=np.asarray(self.ts),
                             xs=np.asarray(self.xs),
-                            names=np.asarray(names, dtype=object),
-                            allow_pickle=True)
+                            names=np.asarray(names, dtype=str))
 
     @staticmethod
     def load(path):
         """Load saved waveforms: returns (ts, {name: values})."""
-        z = np.load(path, allow_pickle=True)
+        z = np.load(path)
         names = list(z["names"])
         xs = z["xs"]
         return z["ts"], {nm: xs[..., i] for i, nm in enumerate(names)}
@@ -225,7 +224,8 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         # flattened state: accepted quantities + in-flight trial
         si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
         state = dict(
-            t=t0, h=h0, x=x0, lim=lim0, q=q0, qdot=qdot0, q1=q0,
+            t=t0, h=h0, x=x0, lim=lim0, lim_acc=lim0, q=q0, qdot=qdot0,
+            q1=q0,
             x1=x0, t1=t0 - 1.0, x2=x0, t2=t0 - 2.0,
             ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
             naccept=jnp.int32(0), nreject=jnp.int32(0),
@@ -368,9 +368,13 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                     lambda a, b: jnp.where(newton_done, a, b),
                     trial[k], keep[k])
             # limiter state: keep updating while Newton continues; commit
-            # on accept; restore the last accepted state on reject
+            # on accept; restore the LAST ACCEPTED step's state on reject
+            # (s["lim"] at reject time is the rejected trial's own previous
+            # iterate — limiting against a discarded trajectory hurts
+            # convergence of the retry)
+            ns["lim_acc"] = jnp.where(accept, lim_new, s["lim_acc"])
             ns["lim"] = jnp.where(accept, lim_new,
-                                  jnp.where(newton_done, s["lim"],
+                                  jnp.where(newton_done, s["lim_acc"],
                                             lim_new))
             if trace:
                 viol = jnp.max(jnp.abs(dx) / (spec.reltol * jnp.maximum(

@@ -25,9 +25,21 @@ from .spec import DynSpec
 from .structure import CompiledCircuit
 
 
-def partition_circuit(cc: CompiledCircuit, block_size: int = 256
+def default_block_size() -> int:
+    """Backend-aware BBD block size: on TPU keep blocks <= GAUSS_MAX_N so
+    their factorization stays on the unrolled Gauss path (XLA's LU expander
+    inside while_loops faults the chip); 128 also matches the MXU tile."""
+    from ..ops.linalg import GAUSS_MAX_N
+    if jax.default_backend() == "cpu":
+        return 256
+    return min(128, GAUSS_MAX_N)
+
+
+def partition_circuit(cc: CompiledCircuit, block_size: int | None = None
                       ) -> BBDPartition:
     """Partition a compiled circuit's unknown-connectivity graph."""
+    if block_size is None:
+        block_size = default_block_size()
     edges = []
     device_unknowns = []
     for g in cc.groups:

@@ -206,24 +206,26 @@ def make_dc_solver(cc: CompiledCircuit, assemble=None,
 
     def dc_solve(x0, params, dyn: DynSpec) -> NewtonResult:
         def body(carry, inp):
-            x, done, iters = carry
+            x, done, iters, rn = carry
             gs, sf, fin = inp
 
-            def run(x):
+            def run(op):
+                x, rn = op
                 r = newton(x, params,
                            dyn._replace(gshunt=gs, srcfact=sf))
-                return r.x, r.converged, r.iters
+                return r.x, r.converged, r.iters, r.resnorm
 
-            def skip(x):
-                return x, jnp.asarray(True), jnp.int32(0)
+            def skip(op):
+                x, rn = op
+                return x, jnp.asarray(True), jnp.int32(0), rn
 
-            x_new, conv, it = jax.lax.cond(done, skip, run, x)
+            x_new, conv, it, rn = jax.lax.cond(done, skip, run, (x, rn))
             done = done | (fin & conv)
-            return (x_new, done, iters + it), None
+            return (x_new, done, iters + it, rn), None
 
-        init = (jnp.asarray(x0, DTYPE), jnp.asarray(False), jnp.int32(0))
-        (x, done, iters), _ = jax.lax.scan(body, init, schedule)
-        return NewtonResult(x=x, converged=done, iters=iters,
-                            resnorm=jnp.asarray(0.0, DTYPE))
+        init = (jnp.asarray(x0, DTYPE), jnp.asarray(False), jnp.int32(0),
+                jnp.asarray(jnp.inf, DTYPE))
+        (x, done, iters, rn), _ = jax.lax.scan(body, init, schedule)
+        return NewtonResult(x=x, converged=done, iters=iters, resnorm=rn)
 
     return dc_solve

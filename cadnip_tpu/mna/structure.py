@@ -132,7 +132,7 @@ class Circuit:
         return self.add(MOSFET1, name, (d, g, s, b), **params)
 
     def compile(self, spec: SimSpec | None = None, *, solver: str = "auto",
-                block_size: int = 256) -> "CompiledCircuit":
+                block_size: int | None = None) -> "CompiledCircuit":
         """solver: 'dense' | 'bbd' | 'auto' (BBD block-bordered-diagonal
         decomposition kicks in automatically for large circuits)."""
         cc = elaborate(self, spec or SimSpec())

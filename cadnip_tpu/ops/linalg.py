@@ -108,13 +108,32 @@ class DenseLU:
         return x
 
 
+_warned_tpu_lu = False
+
+
 def resolve_method(method: str | None, n: int) -> str:
     """'auto'/None -> concrete method for an n-sized system."""
     if method in (None, "auto"):
         backend = jax.default_backend()
         if backend == "cpu":
             return "lu64"
-        return "gauss" if n <= GAUSS_MAX_N else "lu32ir"
+        if n <= GAUSS_MAX_N:
+            return "gauss"
+        # XLA's LU expander lowers to nested while-loops; traced inside a
+        # Newton/transient while_loop on TPU it faults the chip and blows
+        # compile time (see CLAUDE.md).  Callers that iterate should keep
+        # their dense systems <= GAUSS_MAX_N (BBD does, by capping block
+        # size); warn once so the pathology is visible before it bites.
+        global _warned_tpu_lu
+        if not _warned_tpu_lu:
+            import warnings
+            warnings.warn(
+                f"TPU dense solve n={n} > GAUSS_MAX_N={GAUSS_MAX_N} falls "
+                "back to f32 LU + refinement; if this solve sits inside a "
+                "while_loop the XLA LU expander may fault the TPU — reduce "
+                "the block/border size or use the BBD path", stacklevel=2)
+            _warned_tpu_lu = True
+        return "lu32ir"
     return method
 
 

@@ -28,10 +28,11 @@ reference's `make_mna_device` (`src/vasim.jl:201-584`):
 the laplace_nd/zp/np/zd filters (controllable-canonical state-space with
 extra internal unknowns) are supported.
 
-Current limitations (tracked for later rounds): `$limit` evaluates its
-first argument unlimited; loop trip counts and laplace coefficients must be
-host-evaluable from parameter defaults; `absdelay` needs delay history
-(raises for now).
+`$limit` carries real limiter state across Newton iterations (pnjlim /
+fetlim or a user-named function against the previous ITERATE's limited
+value — see `_do_limit`). Current limitations (tracked for later rounds):
+loop trip counts and laplace coefficients must be host-evaluable from
+parameter defaults.
 """
 from __future__ import annotations
 

@@ -179,3 +179,31 @@ def test_gmin_stepping_rescues_hard_start():
     # each junction drops ~ same voltage; sanity-check the ladder midpoint
     assert float(sol["n19"]) < 30.0
     assert float(sol["n19"]) > 0.0
+
+
+def test_currents_and_opinfo_on_sources():
+    # regression: 2-D packed waveform params must slice the INSTANCE axis
+    # (currents() on any V/I source used to raise)
+    cir = Circuit("cur")
+    cir.V("v1", "in", "0", dc=5.0)
+    cir.R("r1", "in", "out", 1e3)
+    cir.R("r2", "out", "0", 1e3)
+    sol = dc(cir.compile())
+    iv = sol.currents("v1")
+    assert iv["p"] == pytest.approx(-2.5e-3, rel=1e-6)
+    assert iv["n"] == pytest.approx(+2.5e-3, rel=1e-6)
+    ir = sol.currents("r1")
+    assert ir["p"] == pytest.approx(+2.5e-3, rel=1e-6)
+
+
+def test_dc_resnorm_is_real():
+    # resnorm must be the actual final KCL residual, not a placeholder
+    cir = Circuit("rn")
+    cir.V("v1", "in", "0", dc=5.0)
+    cir.R("r1", "in", "out", 1e3)
+    cir.D("d1", "out", "0", **{"is": 1e-14})
+    sol = dc(cir.compile())
+    rn = float(sol.resnorm)
+    assert bool(sol.converged)
+    # residual at the final Newton evaluation point: small but nonzero
+    assert 0.0 < rn < 1e-3
