@@ -25,6 +25,47 @@ from .spec import DynSpec
 from .structure import CompiledCircuit
 
 
+def _lim_seed(model, conn, x_pad):
+    """Initial limiter state for one group, flattened.
+
+    Node-moving models seed with a copy of the gathered state; site-based
+    VA models seed each branch variable with its branch voltage (the
+    reference's tracking-row semantics, `vasim.jl:3097-3140`)."""
+    if model.residual_lim is None:
+        return x_pad[conn].reshape(-1)
+    cols = []
+    for (pl, nl) in model.lim_branches:
+        vp = x_pad[conn[:, pl]]
+        vn = x_pad[conn[:, nl]] if nl is not None else 0.0
+        cols.append(vp - vn)
+    return jnp.stack(cols, axis=1).reshape(-1)
+
+
+def _group_eval_sites(model, u, w_prev, p, dyn):
+    """VA `$limit` site-based limiting for ONE instance (reference dual
+    slots + lim_rhs, `vasim.jl:3012-3146`).
+
+    w_prev [B]: per-branch limiter state (last evaluation voltages). The
+    residual_lim interpreter returns straight-through passthroughs (value at
+    the limited point, conductance wired to the nodes); the companion
+    anchoring F += (∂F/∂w_site)·(vnew − w_site) comes out of ONE extra
+    tangent pass through the d-argument."""
+    S = model.n_lim_sites
+    zd = jnp.zeros(S, u.dtype)
+
+    def fq(uu, dd):
+        (f, q), aux = model.residual_lim(uu, dd, w_prev, p, dyn)
+        return (f, q), aux
+
+    (f, q), lin, aux = jax.linearize(fq, u, zd, has_aux=True)
+    w_new, vnew, wsite = aux
+    eye = jnp.eye(u.shape[0], dtype=u.dtype)
+    Jt, Ct = jax.vmap(lambda e: lin(e, zd))(eye)
+    J, C = Jt.T, Ct.T
+    df, dq = lin(jnp.zeros_like(u), vnew - wsite)
+    return f + df, q + dq, J, C, w_new
+
+
 def _group_eval(model, u, u_lim_prev, p, dyn):
     """Residual, charge, and their local Jacobians for ONE instance, with
     limiting applied and the companion anchored at the limited point.
@@ -35,6 +76,8 @@ def _group_eval(model, u, u_lim_prev, p, dyn):
     the previous raw iterate instead breaks limiting whenever the iterate
     oscillates back to the same value.
     """
+    if model.residual_lim is not None:
+        return _group_eval_sites(model, u, u_lim_prev, p, dyn)
     u_eval = (model.limit(u, u_lim_prev, p, dyn)
               if model.limit is not None else u)
 
@@ -72,7 +115,12 @@ def make_assembler(cc: CompiledCircuit):
         conn = jnp.asarray(g.conn, jnp.int32)
         lin = (g.conn[:, :, None] * np1 + g.conn[:, None, :]).reshape(-1)
         sl = None
-        if g.model.limit is not None:
+        if g.model.residual_lim is not None:
+            B = len(g.model.lim_branches)
+            size = g.conn.shape[0] * B
+            sl = (lim_off, lim_off + size, (g.conn.shape[0], B))
+            lim_off += size
+        elif g.model.limit is not None:
             size = g.conn.size
             sl = (lim_off, lim_off + size, g.conn.shape)
             lim_off += size
@@ -86,8 +134,9 @@ def make_assembler(cc: CompiledCircuit):
             return jnp.zeros(0, DTYPE)
         parts = []
         for model, conn, _, sl in consts:
-            if sl is not None:
-                parts.append(x_pad[conn].reshape(-1))
+            if sl is None:
+                continue
+            parts.append(_lim_seed(model, conn, x_pad))
         return jnp.concatenate(parts)
 
     def assemble(x_pad, lim, params, dyn: DynSpec):

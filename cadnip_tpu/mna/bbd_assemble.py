@@ -111,7 +111,12 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
                                     dev_block)
                     idx[t][si, a, b] = flat
         sl = None
-        if g.model.limit is not None:
+        if g.model.residual_lim is not None:
+            B = len(g.model.lim_branches)
+            size = g.conn.shape[0] * B
+            sl = (lim_off, lim_off + size, (g.conn.shape[0], B))
+            lim_off += size
+        elif g.model.limit is not None:
             size = g.conn.size
             sl = (lim_off, lim_off + size, g.conn.shape)
             lim_off += size
@@ -131,10 +136,11 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
     def init_lim(x_pad):
         if n_lim == 0:
             return jnp.zeros(0, DTYPE)
+        from .assemble import _lim_seed
         parts = []
         for model, conn, _, sl in consts:
             if sl is not None:
-                parts.append(x_pad[conn].reshape(-1))
+                parts.append(_lim_seed(model, conn, x_pad))
         return jnp.concatenate(parts)
 
     def assemble(x_pad, lim, params, dyn: DynSpec):

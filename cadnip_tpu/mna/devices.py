@@ -75,6 +75,15 @@ class DeviceModel:
     # parameter names baked into structure (VA loop bounds, laplace
     # coefficients): per-instance overrides cannot take effect -> warn
     structural_params: tuple = ()
+    # VA `$limit` site-based limiting (reference vasim.jl:3012-3146 dual
+    # slots + lim_rhs): residual_lim(u, d, w, p, dyn) -> ((f, q), aux) where
+    # w [n_lim_branches] is per-branch limiter state (previous evaluation
+    # voltages), d [n_lim_sites] is the companion-linearization hook, and
+    # aux = (w_new, vnew, wsite). `limit` above stays the simpler
+    # node-moving hook for built-in devices.
+    residual_lim: Optional[Callable] = None
+    lim_branches: tuple = ()              # ((p_local, n_local|None), ...)
+    n_lim_sites: int = 0
     # collapse internal node to terminal when a param is zero, etc. (future)
 
     @property
@@ -281,6 +290,42 @@ def pnjlim(vnew, vold, vt, vcrit):
     v_neg = vt * jnp.log(jnp.maximum(vnew / vt, 1e-300))
     vlim = jnp.where(vold > 0.0, v_pos, v_neg)
     return jnp.where(big, vlim, vnew)
+
+
+def fetlim(vnew, vold, vto):
+    """SPICE3 FET gate-voltage limiter (public DEVfetlim algorithm;
+    reference ngspice port at `devices.jl`), branch-free."""
+    vtsthi = jnp.abs(2.0 * (vold - vto)) + 2.0
+    vtstlo = jnp.abs(vold - vto) + 1.0
+    vtox = vto + 3.5
+    delv = vnew - vold
+    # vold >= vtox ("on")
+    on_dec = jnp.where(vnew >= vtox,
+                       jnp.where(-delv > vtstlo, vold - vtstlo, vnew),
+                       jnp.maximum(vnew, vto + 2.0))
+    on_inc = jnp.where(delv >= vtsthi, vold + vtsthi, vnew)
+    on = jnp.where(delv <= 0.0, on_dec, on_inc)
+    # vto <= vold < vtox ("middle")
+    mid = jnp.where(delv <= 0.0, jnp.maximum(vnew, vto - 0.5),
+                    jnp.minimum(vnew, vto + 4.0))
+    # vold < vto ("off")
+    off_dec = jnp.where(-delv > vtsthi, vold - vtsthi, vnew)
+    off_inc = jnp.where(vnew <= vto + 0.5,
+                        jnp.where(delv > vtstlo, vold + vtstlo, vnew),
+                        vto + 0.5)
+    off = jnp.where(delv <= 0.0, off_dec, off_inc)
+    return jnp.where(vold >= vto,
+                     jnp.where(vold >= vtox, on, mid), off)
+
+
+def limvds(vnew, vold):
+    """SPICE3 drain-source voltage limiter (public DEVlimvds algorithm),
+    branch-free."""
+    hi = jnp.where(vnew > vold, jnp.minimum(vnew, 3.0 * vold + 2.0),
+                   jnp.where(vnew < 3.5, jnp.maximum(vnew, 2.0), vnew))
+    lo = jnp.where(vnew > vold, jnp.minimum(vnew, 4.0),
+                   jnp.maximum(vnew, -0.5))
+    return jnp.where(vold >= 3.5, hi, lo)
 
 
 def _vcrit(p, dyn):

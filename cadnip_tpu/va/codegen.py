@@ -73,7 +73,9 @@ def _limexp(x):
 class _Env:
     """Interpreter state for one evaluation of the analog block."""
 
-    __slots__ = ("vars", "contrib", "mask", "noise_acc", "compiler")
+    __slots__ = ("vars", "contrib", "mask", "noise_acc", "compiler",
+                 "lim_w", "lim_d", "lim_rec", "lim_vnew", "lim_wsite",
+                 "vmask")
 
     def __init__(self, compiler, n_local):
         self.vars = {}
@@ -81,6 +83,18 @@ class _Env:
         self.mask = 1.0            # product of enclosing if-conditions
         self.noise_acc = []        # [(site_id, psd_value, exponent)]
         self.compiler = compiler
+        # $limit machinery (set by make_residual_lim; None = unlimited eval)
+        self.lim_w = None          # [B] per-branch limiter state in
+        self.lim_d = None          # [S] per-site companion hook
+        self.lim_rec = None        # {branch_idx: new state value}
+        self.lim_vnew = None       # {site_idx: unlimited probe value}
+        self.lim_wsite = None      # {site_idx: limited value}
+        # switch-branch bookkeeping: accumulated activation mask per
+        # V-contribution branch unknown (LRM switch branches: a branch with
+        # no active V contribution this evaluation is an OPEN branch, its
+        # current unknown constrained to 0 — covers the conditional
+        # `V(a,b) <+ 0` node-collapse idiom, reference vasim.jl:2723)
+        self.vmask = {}
 
 
 class VACompiler:
@@ -126,10 +140,13 @@ class VACompiler:
             self.laplace_sites[key] = (nxt, m, num, den)
             nxt += m
         self.n_local = nxt
-        # $limit sites: [(nets tuple, limiter name)] — become a device
-        # limit() hook applying pnjlim-style limiting to those branch
-        # voltages (reference $limit slots, `vasim.jl:3012-3017`)
-        self.limit_sites = []
+        # $limit sites (reference vasim.jl:1257-1338, :3097-3146): one
+        # limiter-state variable per unique probe BRANCH (shared across all
+        # $limit sites on that branch — OldGet/NewSet idiom); one companion
+        # slot per call SITE for the OSDI lim_rhs anchoring.
+        self.limit_sites = []     # [(branch_idx, fn_name, extra_arg_exprs)]
+        self.limit_branches = []  # [(p_net, n_net|None)] unique, ordered
+        self.limit_site_ids = {}  # id(expr) -> site_idx
         self._find_limits(mod.analog)
         # noise sites (static enumeration)
         self.noise_sites = []     # [(kind, branch(p,n))]
@@ -148,7 +165,12 @@ class VACompiler:
         for st in stmts:
             k = st[0]
             if k == "contrib" and st[1] == "V":
-                self.vbranches.setdefault(self._branch_nets(st[2]), None)
+                nets = st[2]
+                if len(nets) == 1 and nets[0] in self.mod.branches:
+                    key = self.mod.branches[nets[0]]
+                else:
+                    key = self._branch_nets(nets)
+                self.vbranches.setdefault(key, None)
             elif k == "block":
                 self._discover(st[1])
             elif k == "if":
@@ -250,7 +272,11 @@ class VACompiler:
         for st in stmts:
             k = st[0]
             if k == "contrib":
-                tgt = self._branch_nets(st[2])
+                nets = st[2]
+                if len(nets) == 1 and nets[0] in self.mod.branches:
+                    tgt = self.mod.branches[nets[0]]
+                else:
+                    tgt = self._branch_nets(nets)
                 self._find_noise_expr(st[3], tgt)
             elif k == "block":
                 self._find_noise(st[1], branch)
@@ -397,8 +423,10 @@ class VACompiler:
 
             def block(s):
                 env = _Env(comp, comp.n_local)
+                comp._init_vars(env, u, p, dyn, eff, s)
                 for st in comp.mod.analog:
                     comp._exec(st, env, u, p, dyn, eff, s)
+                comp._close_switch_branches(env, u)
                 return env.contrib
 
             f, q = jax.jvp(block, (0.0,), (1.0,))
@@ -406,18 +434,33 @@ class VACompiler:
 
         return residual
 
+    def _limit_branch(self, acc):
+        """Resolve a $limit probe V(p[,n]) / V(branch) to (p, n) nets."""
+        nets = acc[2]
+        if len(nets) == 1 and nets[0] in self.mod.branches:
+            return self.mod.branches[nets[0]]
+        return self._branch_nets(nets)
+
     def _find_limits(self, stmts):
         def walk_expr(e):
             if not isinstance(e, tuple):
                 return
             if e[0] == "sysfn" and e[1] == "$limit" and e[2]:
                 acc = e[2][0]
-                fn = (e[2][1][1] if len(e[2]) > 1 and e[2][1][0] == "str"
-                      else "pnjlim")
                 if acc[0] == "acc" and acc[1] == "V":
-                    key = (self._branch_nets(acc[2]), fn)
-                    if key not in self.limit_sites:
-                        self.limit_sites.append(key)
+                    fn = "pnjlim"
+                    extra = []
+                    if len(e[2]) > 1:
+                        fe = e[2][1]
+                        if fe[0] in ("str", "name"):
+                            fn = fe[1]
+                        extra = e[2][2:]
+                    branch = self._limit_branch(acc)
+                    if branch not in self.limit_branches:
+                        self.limit_branches.append(branch)
+                    b = self.limit_branches.index(branch)
+                    self.limit_site_ids[id(e)] = len(self.limit_sites)
+                    self.limit_sites.append((b, fn, list(extra)))
             for sub in e[1:]:
                 if isinstance(sub, tuple):
                     walk_expr(sub)
@@ -447,36 +490,53 @@ class VACompiler:
         for st in stmts:
             walk(st)
 
-    def make_limit(self):
-        """Device-level limit() from $limit sites: pnjlim each referenced
-        branch voltage against its previous evaluation (the assembler
-        carries the limiter state and anchors the companion there)."""
+    def make_residual_lim(self):
+        """residual_lim(u, d, w, p, dyn) -> ((f, q), (w_new, vnew, wsite)).
+
+        Reference-exact $limit semantics (vasim.jl:1257-1338): per probe
+        branch one limiter-state variable w[b] (the voltage the device
+        evaluated at last iteration); each call site computes
+        w_site = fn(vnew, w[b], args...) — interpreting user limiter
+        functions (DEVlimitOldGet/NewSet wrapping DEVpnjlim/fetlim) or the
+        builtin pnjlim/fetlim/limvds — records it as the branch's new
+        state, and returns a straight-through passthrough: value = w_site,
+        gradient = ∂vnew/∂u (undamped conductance at the limited point,
+        the ngspice/OSDI convention) plus d[site] for the lim_rhs
+        companion anchoring (F += ∂F/∂w · (vnew − w), applied by the
+        assembler via one extra linearization tangent)."""
         if not self.limit_sites:
             return None
-        from ..mna.devices import pnjlim
-        sites = []
-        for (nets, fn) in self.limit_sites:
-            p = self.node_idx.get(nets[0])
-            n = self.node_idx.get(nets[1]) if nets[1] else None
-            if p is not None:
-                sites.append((p, n, fn))
-        if not sites:
-            return None
+        comp = self
+        S = len(self.limit_sites)
+        B = len(self.limit_branches)
 
-        def limit(u, u_prev, p_params, dyn):
-            for (pi, ni, fn) in sites:
-                v_new = u[pi] - (u[ni] if ni is not None else 0.0)
-                v_old = u_prev[pi] - (u_prev[ni] if ni is not None else 0.0)
-                vt = dyn.vt
-                # vcrit from the typical junction scale; models that need
-                # exact is-based vcrit still converge (pnjlim only damps)
-                vcrit = vt * jnp.log(vt / (1.41421356 * 1e-14))
-                v_lim = pnjlim(v_new, v_old, vt, vcrit)
-                base = u[ni] if ni is not None else 0.0
-                u = u.at[pi].set(base + v_lim)
-            return u
+        def residual_lim(u, d, w, p, dyn):
+            eff = comp.effective_params(p, dyn)
 
-        return limit
+            def block(s):
+                env = _Env(comp, comp.n_local)
+                env.lim_w = w
+                env.lim_d = d
+                env.lim_rec = {}
+                env.lim_vnew = {}
+                env.lim_wsite = {}
+                comp._init_vars(env, u, p, dyn, eff, s)
+                for st in comp.mod.analog:
+                    comp._exec(st, env, u, p, dyn, eff, s)
+                comp._close_switch_branches(env, u)
+                zero = jnp.zeros(())
+                w_new = jnp.stack([env.lim_rec.get(b, w[b]) + zero
+                                   for b in range(B)])
+                vnew = jnp.stack([env.lim_vnew.get(j, zero) + zero
+                                  for j in range(S)])
+                wsite = jnp.stack([env.lim_wsite.get(j, zero) + zero
+                                   for j in range(S)])
+                return env.contrib, (w_new, vnew, wsite)
+
+            (f, aux), (q, _) = jax.jvp(block, (0.0,), (1.0,))
+            return (f, q), aux
+
+        return residual_lim
 
     def make_noise(self):
         comp = self
@@ -486,6 +546,7 @@ class VACompiler:
         def noise_fn(u, p, dyn):
             eff = comp.effective_params(p, dyn)
             env = _Env(comp, comp.n_local)
+            comp._init_vars(env, u, p, dyn, eff, 0.0)
             for st in comp.mod.analog:
                 comp._exec(st, env, u, p, dyn, eff, 0.0)
             got = {sid: (w, fl) for sid, w, fl in env.noise_acc}
@@ -498,6 +559,7 @@ class VACompiler:
         def flicker_fn(u, p, dyn):
             eff = comp.effective_params(p, dyn)
             env = _Env(comp, comp.n_local)
+            comp._init_vars(env, u, p, dyn, eff, 0.0)
             for st in comp.mod.analog:
                 comp._exec(st, env, u, p, dyn, eff, 0.0)
             got = {sid: (w, fl) for sid, w, fl in env.noise_acc}
@@ -578,8 +640,21 @@ class VACompiler:
             for _ in range(10000):
                 c = self._try_host(st[2], env, eff)
                 if c is None:
-                    raise VACompileError(
-                        "for-loop condition must be host-evaluable")
+                    # condition involves traced values (e.g. an early-exit
+                    # `iter = 25` under a data-dependent if): bound the trip
+                    # count from a host shadow of the loop control alone and
+                    # run the remaining iterations masked
+                    trips = self._trip_bound(st, env, eff)
+                    if trips is None:
+                        raise VACompileError(
+                            "for-loop condition must be host-evaluable or "
+                            "have a host-boundable trip count")
+                    for _ in range(trips):
+                        cond = self._eval_expr(st[2], env, u, p, dyn, eff,
+                                               s)
+                        self._exec_masked(("block", [st[4], st[3]]), None,
+                                          cond, env, u, p, dyn, eff, s)
+                    break
                 if not c:
                     break
                 self._exec(st[4], env, u, p, dyn, eff, s)
@@ -603,6 +678,10 @@ class VACompiler:
                 self._exec(st[2], env, u, p, dyn, eff, s)
         elif k == "sys":
             pass  # $strobe/$display/$finish: no-op at runtime
+        elif k == "callstmt":
+            if st[1] in self.mod.functions:
+                self._user_fn(st[1], st[2], env, u, p, dyn, eff, s)
+            # unknown task calls (e.g. vendor debug hooks): no-op
         elif k == "event":
             self._exec(st[1], env, u, p, dyn, eff, s)
         else:
@@ -634,7 +713,10 @@ class VACompiler:
             ev = else_vars.get(key, saved_vars.get(key))
             if tv is None:
                 merged[key] = ev
-            elif ev is None:
+            elif ev is None or tv is ev:
+                # untouched by both branches (same object): no merge op —
+                # critical for giant models (bsim3v3: ~500 ifs x ~400 vars
+                # would otherwise emit 200k dead where-ops)
                 merged[key] = tv
             else:
                 merged[key] = jnp.where(condf != 0, tv, ev)
@@ -643,7 +725,10 @@ class VACompiler:
     def _contrib(self, st, env, u, p, dyn, eff, s):
         acc, nets, expr = st[1], st[2], st[3]
         val = self._eval_expr(expr, env, u, p, dyn, eff, s) * env.mask
-        tgt = self._branch_nets(nets)
+        if len(nets) == 1 and nets[0] in self.mod.branches:
+            tgt = self.mod.branches[nets[0]]     # named branch
+        else:
+            tgt = self._branch_nets(nets)
         pi = self.node_idx[tgt[0]]
         ni = self.node_idx[tgt[1]] if tgt[1] else None
         if acc == "I":
@@ -658,6 +743,35 @@ class VACompiler:
                 env.contrib = env.contrib.at[ni].add(-env.mask * ib)
             vb = u[pi] - (u[ni] if ni is not None else 0.0)
             env.contrib = env.contrib.at[j].add(env.mask * (vb - 0.0) - val)
+            env.vmask[j] = env.vmask.get(j, 0.0) + env.mask
+
+    def _trip_bound(self, st, env, eff, cap=10000):
+        """Max trip count of a for-loop, simulating ONLY its control
+        (init; cond; step) on host values — ignores body mutations, so it
+        is an upper bound for loops whose body only escapes early."""
+        _, init, cond, step, _ = st
+        sh = _Env(self, 1)
+        sh.vars = dict(env.vars)
+        if init[0] == "assign":
+            v = self._try_host(init[2], env, eff)
+            if v is None:
+                return None
+            sh.vars[init[1]] = v
+        n = 0
+        while n < cap:
+            c = self._try_host(cond, sh, eff)
+            if c is None:
+                return None
+            if not c:
+                return n
+            if step[0] != "assign":
+                return None
+            v = self._try_host(step[2], sh, eff)
+            if v is None:
+                return None
+            sh.vars[step[1]] = v
+            n += 1
+        return None
 
     def _try_host(self, e, env, eff):
         """Host-evaluate an expression if it only involves python values."""
@@ -765,6 +879,11 @@ class VACompiler:
             key = self._branch_nets(nets)
         if key in self.vbranches:
             return u[self.vbranches[key]]
+        if len(nets) == 1 and nets[0] in self.mod.branches:
+            # current read of a flow-contributed named branch: only noise
+            # sources feed these in practice (bsim4 correlated noise) and
+            # they contribute exactly 0 to the value path
+            return jnp.zeros(())
         raise VACompileError(
             f"I({','.join(nets)}) access requires a voltage-contributed "
             f"branch")
@@ -852,18 +971,86 @@ class VACompiler:
             return jnp.zeros(())
         raise VACompileError(f"unknown function {fn!r}/{len(e[2])}")
 
-    def _user_fn(self, fname, arg_exprs, env, u, p, dyn, eff, s):
+    def _apply_limiter(self, fn, vnew, vold, extra_exprs, env, u, p, dyn,
+                       eff, s):
+        """Evaluate the $limit limiter fn(vnew, vold, extra...)."""
+        if fn in self.mod.functions:
+            return self._user_fn(
+                fn, [None, None] + list(extra_exprs), env, u, p, dyn, eff,
+                s, pre_args=[vnew, vold])
+        from ..mna.devices import fetlim, limvds, pnjlim
+        extra = [self._eval_expr(a, env, u, p, dyn, eff, s)
+                 for a in extra_exprs]
+        if fn == "pnjlim":
+            vt = extra[0] if extra else dyn.vt
+            vcrit = (extra[1] if len(extra) > 1
+                     else vt * jnp.log(vt / (1.41421356 * 1e-14)))
+            return pnjlim(vnew, vold, vt, vcrit)
+        if fn == "fetlim":
+            return fetlim(vnew, vold, extra[0] if extra else 0.0)
+        if fn == "limvds":
+            return limvds(vnew, vold)
+        raise VACompileError(f"$limit: unknown limiter function {fn!r}")
+
+    def _close_switch_branches(self, env, u):
+        """After a block evaluation: every V-contribution branch whose
+        activation mask is (partially) inactive gets its current unknown
+        constrained toward 0 — open switch branch (VA LRM 5.3)."""
+        for j in self.vbranches.values():
+            act = env.vmask.get(j, 0.0)
+            if isinstance(act, float) and act == 1.0:
+                continue
+            open_w = 1.0 - jnp.clip(act, 0.0, 1.0)
+            env.contrib = env.contrib.at[j].add(open_w * u[j])
+
+    def _init_vars(self, env, u, p, dyn, eff, s):
+        """Module-level variable initializers (`real x = expr;`)."""
+        for nm, vinfo in self.mod.variables.items():
+            init = vinfo[2] if len(vinfo) > 2 else None
+            if init is not None:
+                env.vars[nm] = self._eval_expr(init, env, u, p, dyn, eff, s)
+
+    def _user_fn(self, fname, arg_exprs, env, u, p, dyn, eff, s,
+                 pre_args=None):
+        """Interpret a user analog function call.
+
+        arg_exprs: call-site argument expressions (entries may be None when
+        pre_args supplies the value directly, e.g. $limit's (vnew, vold)).
+        inout/output arguments write back to the caller's variable when the
+        call-site expression is a plain name (reference analog task calls
+        with output args, vasim.jl:2519-2620)."""
         f = self.mod.functions[fname]
-        args = [self._eval_expr(a, env, u, p, dyn, eff, s)
-                for a in arg_exprs]
-        sub = _Env(self.__class__ and self, self.n_local)
-        sub.vars = dict(zip(f.inputs, args))
+        pre = list(pre_args) if pre_args else []
+        args = []
+        for i, (nm, direction) in enumerate(f.args):
+            if i < len(pre):
+                args.append(pre[i])
+            elif i < len(arg_exprs) and arg_exprs[i] is not None:
+                args.append(self._eval_expr(arg_exprs[i], env, u, p, dyn,
+                                            eff, s))
+            else:
+                args.append(0.0)
+        sub = _Env(self, self.n_local)
+        sub.vars = {nm: 0.0 for nm in f.locals}
+        sub.vars.update(zip((nm for nm, _ in f.args), args))
         sub.vars[fname] = 0.0
         sub.mask = env.mask
         sub.contrib = env.contrib
+        sub.noise_acc = env.noise_acc
+        sub.lim_w, sub.lim_d = env.lim_w, env.lim_d
+        sub.lim_rec, sub.lim_vnew, sub.lim_wsite = (env.lim_rec,
+                                                    env.lim_vnew,
+                                                    env.lim_wsite)
         for st in f.body:
             self._exec(st, sub, u, p, dyn, eff, s)
         env.contrib = sub.contrib
+        # inout/output writeback
+        for i, (nm, direction) in enumerate(f.args):
+            if direction == "input" or i >= len(arg_exprs):
+                continue
+            ae = arg_exprs[i]
+            if ae is not None and ae[0] == "name":
+                env.vars[ae[1]] = sub.vars.get(nm, 0.0)
         return sub.vars.get(fname, 0.0)
 
     def _table_model(self, e, env, u, p, dyn, eff, s):
@@ -956,13 +1143,35 @@ class VACompiler:
         if name == "$table_model":
             return self._table_model(e, env, u, p, dyn, eff, s)
         if name == "$limit":
-            # unlimited evaluation (limiting state arrives a later round)
-            return self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+            vnew = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+            j = self.limit_site_ids.get(id(e))
+            if j is None or env.lim_w is None:
+                # unlimited evaluation (noise/opvar/rhs passes, or a probe
+                # that is not a V() access)
+                return vnew
+            b, fn, extra = self.limit_sites[j]
+            vold = env.lim_w[b]
+            w_site = jax.lax.stop_gradient(self._apply_limiter(
+                fn, vnew, vold, extra, env, u, p, dyn, eff, s))
+            # record the branch's new state (mask-blended so $limit inside
+            # conditionals composes; the reference forbids that case)
+            prev = env.lim_rec.get(b, env.lim_w[b])
+            env.lim_rec[b] = jnp.where(env.mask != 0, w_site, prev)
+            env.lim_vnew[j] = jax.lax.stop_gradient(vnew) + jnp.zeros(())
+            env.lim_wsite[j] = w_site + jnp.zeros(())
+            # passthrough dual: value = w_site, gradient = ∂vnew/∂u, plus
+            # the site's companion slot (reference vasim.jl:1320-1336)
+            return vnew - jax.lax.stop_gradient(vnew) + w_site + env.lim_d[j]
         if name in ("$strobe", "$display", "$debug", "$warning", "$error",
                     "$finish", "$fatal", "$stop"):
             return jnp.zeros(())
         if name == "$mfactor":
             return 1.0
+        if name == "$port_connected":
+            # every port must be wired in this framework
+            return 1.0
+        if name == "$analog_node_alias":
+            return 0.0
         raise VACompileError(f"unknown system function {name!r}")
 
 
@@ -1099,6 +1308,9 @@ def _rename_stmt(st, net_map, sym_map):
     if k == "sys":
         return ("sys", st[1], [_rename_expr(a, net_map, sym_map)
                                for a in st[2]])
+    if k == "callstmt":
+        return ("callstmt", sym_map.get(st[1], st[1]),
+                [_rename_expr(a, net_map, sym_map) for a in st[2]])
     if k == "event":
         return ("event", _rename_stmt(st[1], net_map, sym_map))
     return st
@@ -1147,11 +1359,15 @@ def inline_hierarchy(mod: VAModule, lib: dict) -> VAModule:
             out.parameters[new] = VAParam(new, par.ptype, default,
                                           par.ranges, par.units, par.desc)
         for vn, vinfo in sub.variables.items():
-            out.variables[sym_map[vn]] = vinfo
+            ty, attrs = vinfo[0], vinfo[1]
+            init = vinfo[2] if len(vinfo) > 2 else None
+            if init is not None:
+                init = _rename_expr(init, net_map, sym_map)
+            out.variables[sym_map[vn]] = (ty, attrs, init)
         for fn, f in sub.functions.items():
             out.functions[sym_map[fn]] = VAFunction(
                 sym_map[fn], f.ftype,
-                [i for i in f.inputs], dict(f.locals),
+                [(nm, d) for nm, d in f.args], dict(f.locals),
                 [_rename_stmt(s,
                               {}, dict(sym_map, **{fn: sym_map[fn]}))
                  for s in f.body])
@@ -1189,13 +1405,14 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
 
     # operating-point variables: (* desc/units *)-attributed module vars
     # (reference is_op_var_attributed, `vasim.jl:156-164`, `:3036-3056`)
-    op_names = [nm for nm, (ty, attrs) in mod.variables.items()
-                if attrs and ("desc" in attrs or "units" in attrs)]
+    op_names = [nm for nm, vinfo in mod.variables.items()
+                if vinfo[1] and ("desc" in vinfo[1] or "units" in vinfo[1])]
     opvars_fn = None
     if op_names:
         def opvars_fn(u, p, dyn):
             eff = comp.effective_params(p, dyn)
             env = _Env(comp, comp.n_local)
+            comp._init_vars(env, u, p, dyn, eff, 0.0)
             for st in mod.analog:
                 comp._exec(st, env, u, p, dyn, eff, 0.0)
             return {nm: env.vars.get(nm, 0.0) for nm in op_names}
@@ -1204,7 +1421,12 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
         name=f"va:{mod.name}",
         terminals=tuple(comp.ports),
         residual=comp.make_residual(),
-        limit=comp.make_limit(),
+        residual_lim=comp.make_residual_lim(),
+        lim_branches=tuple(
+            (comp.node_idx[pn],
+             comp.node_idx[nn] if nn not in (None, "0") else None)
+            for (pn, nn) in comp.limit_branches),
+        n_lim_sites=len(comp.limit_sites),
         internals=tuple(internals),
         defaults=comp.numeric_defaults(),
         noise=noise_fn,

@@ -101,9 +101,13 @@ class VAParam:
 class VAFunction:
     name: str
     ftype: str
-    inputs: list
+    args: list                        # [(name, 'input'|'output'|'inout')]
     locals: dict
     body: list
+
+    @property
+    def inputs(self):
+        return [nm for nm, _ in self.args]
 
 
 # statements are tuples:
@@ -276,9 +280,8 @@ class Parser:
                     while not self.at("]"):
                         self.next()
                     self.expect("]")
-                m.variables[nm] = (w, attrs)
-                if self.accept("="):
-                    self.expr()   # initializer (rare) — ignored
+                init = self.expr() if self.accept("=") else None
+                m.variables[nm] = (w, attrs, init)
                 if not self.accept(","):
                     break
             self.expect(";")
@@ -343,23 +346,32 @@ class Parser:
             ftype = self.next()[1]
         name = self.ident()
         self.accept(";")
-        inputs = []
+        args = []                     # (name, direction) in declaration order
         locals_ = {}
         while self.peek()[1] in ("input", "output", "inout", "real",
                                  "integer"):
             kind = self.next()[1]
-            names = [self.ident()]
-            while self.accept(","):
-                names.append(self.ident())
+            names = []
+            while True:
+                nm = self.ident()
+                if self.accept("["):      # array local: skip dims
+                    while not self.at("]"):
+                        self.next()
+                    self.expect("]")
+                names.append(nm)
+                if not self.accept(","):
+                    break
             self.expect(";")
-            if kind == "input":
-                inputs.extend(names)
-            elif kind in ("real", "integer"):
+            if kind in ("input", "output", "inout"):
+                args.extend((nm, kind) for nm in names)
+            else:
+                arg_names = {a for a, _ in args}
                 for nm in names:
-                    locals_[nm] = kind
+                    if nm not in arg_names:
+                        locals_[nm] = kind
         body = [self.statement()]
         self.expect("endfunction")
-        return name, VAFunction(name, ftype, inputs, locals_, body)
+        return name, VAFunction(name, ftype, args, locals_, body)
 
     # ---- statements
     def statement(self):
@@ -468,6 +480,19 @@ class Parser:
                 self.expect(";")
                 return ("contrib", acc[1], acc[2], rhs)
             self.i = save
+        # statement-level analog function/task call with output args:
+        # DEVqmeyer(vgs, ..., capgs, ...);  (reference vasim.jl:2519-2620)
+        if t[0] == "id" and self.peek(1)[1] == "(":
+            name = self.ident()
+            self.expect("(")
+            args = []
+            if not self.at(")"):
+                args.append(self.expr())
+                while self.accept(","):
+                    args.append(self.expr())
+            self.expect(")")
+            self.expect(";")
+            return ("callstmt", name, args)
         st = self.simple_assign()
         self.expect(";")
         return st

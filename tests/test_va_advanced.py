@@ -156,7 +156,8 @@ module vadiode_lim(a, c);
 endmodule
 """
     model = compile_va(src)["vadiode_lim"]
-    assert model.limit is not None
+    assert model.residual_lim is not None
+    assert model.n_lim_sites == 1
     cir = ct.Circuit("valim")
     cir.V("v1", "in", "0", dc=30.0)
     prev = "in"
