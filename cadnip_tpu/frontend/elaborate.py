@@ -493,7 +493,7 @@ class Elaborator:
             mc = scope.lookup_model(f[2][1])
             if mc is None:
                 raise ElabError(f"{name}: unknown diode model {f[2][1]!r}")
-            va = scope.lookup_va(mc.mtype)
+            va = scope.lookup_va(mc.mtype) or self._tier1_va(mc)
             if va is not None:
                 extra = {k: self.value_of(v, scope) for k, v in kw.items()}
                 self._va_inst(name, va, [n1, n2], flat_node,
@@ -516,6 +516,15 @@ class Elaborator:
             if mc is None:
                 raise ElabError(f"{name}: unknown BJT model")
             c, b, e = ws[0], ws[1], ws[2]
+            va = scope.lookup_va(mc.mtype) or self._tier1_va(mc)
+            if va is not None:
+                extra = {k: self.value_of(v, scope) for k, v in kw.items()}
+                if mc.mtype == "pnp":
+                    extra.setdefault("type", -1.0)
+                sub = ws[3] if subs_used else "0"
+                self._va_inst(name, va, [c, b, e, sub], flat_node,
+                              dict(mc.params, **extra))
+                return
             p = _map_model_params(mc, _BJT_MAP, self._warn_once)
             p["type"] = -1.0 if mc.mtype == "pnp" else 1.0
             if "area" in kw:
@@ -530,9 +539,13 @@ class Elaborator:
             mc = scope.lookup_model(mname)
             if mc is None:
                 raise ElabError(f"{name}: unknown MOS model {mname!r}")
-            va = scope.lookup_va(mc.mtype)
+            va = scope.lookup_va(mc.mtype) or self._tier1_va(mc)
             if va is not None:
                 extra = {k: self.value_of(v, scope) for k, v in kw.items()}
+                if mc.mtype == "pmos":
+                    extra.setdefault("type", -1.0)
+                extra.setdefault("w", self.options.get("defw", 100e-6))
+                extra.setdefault("l", self.options.get("defl", 100e-6))
                 self._va_inst(name, va, ws[:4], flat_node,
                               dict(mc.params, **extra))
                 return
@@ -545,12 +558,47 @@ class Elaborator:
             self.cir.add(dv.MOSFET1, name,
                          (flat_node(d), flat_node(g), flat_node(s),
                           flat_node(b)), **p)
+        elif L in ("J", "Z"):
+            # JFET / MESFET: Jname d g s model [area]; resolved through the
+            # tier-1 registry (no builtin devices for these classes)
+            ws = [fld[1] for fld in f if fld[0] == "word"]
+            d_, g_, s_, mname = ws[0], ws[1], ws[2], ws[3]
+            mc = scope.lookup_model(mname)
+            if mc is None:
+                raise ElabError(f"{name}: unknown model {mname!r}")
+            va = scope.lookup_va(mc.mtype) or self._tier1_va(mc)
+            if va is None:
+                raise ElabError(
+                    f"{name}: model type {mc.mtype!r} needs the VA model "
+                    f"package (set CADNIP_VA_MODELS)")
+            extra = {k: self.value_of(v, scope) for k, v in kw.items()}
+            if mc.mtype in ("pjf", "pmf"):
+                extra.setdefault("type", -1.0)
+            if len(ws) > 4:
+                extra.setdefault("area", self.value_of(("word", ws[4]),
+                                                       scope))
+            self._va_inst(name, va, [d_, g_, s_], flat_node,
+                          dict(mc.params, **extra))
         elif L == "X":
             self._subckt_call(card, scope, prefix, flat_node)
         elif L == "B":
             self._bsource(card, scope, prefix, flat_node)
         else:
             raise ElabError(f"element type {L!r} not supported yet")
+
+    def _tier1_va(self, mc: "ModelCard"):
+        """Tier-1 registry resolution for a model card (reference
+        `src/spc/sema.jl:308-333` fallback to ModelRegistry.getmodel)."""
+        from ..models.registry import getmodel
+        lvl = 1
+        for k, v in mc.params.items():
+            if str(k).lower() == "level":
+                try:
+                    lvl = int(float(v))
+                except (TypeError, ValueError):
+                    lvl = 1
+        prefer = bool(self.options.get("vamodels", 0))
+        return getmodel(mc.mtype, lvl, prefer_va=prefer)
 
     def _source(self, card: Element, scope, prefix, flat_node):
         name = prefix + card.name

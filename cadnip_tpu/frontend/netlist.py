@@ -205,7 +205,14 @@ def parse_netlist(text: str, *, title_line: bool | None = None) -> Netlist:
     # unless it is a dot card (lenient, like the reference's implicit_title)
     lines = logical_lines(text)
     title = ""
-    if lines and title_line is not False:
+    raw_first = next((ln.strip() for ln in text.split("\n") if ln.strip()),
+                     "")
+    if title_line is not False and raw_first.startswith("*"):
+        # a leading comment line IS the title (SPICE reads the first line
+        # unconditionally); logical_lines already stripped it, so every
+        # remaining line is a card
+        title = raw_first.lstrip("*").strip()
+    elif lines and title_line is not False:
         first = lines[0][1]
         if title_line is True or not first.startswith("."):
             title = first

@@ -53,13 +53,59 @@ class VACompileError(ValueError):
     pass
 
 
+# Domain-safe math. The interpreter evaluates BOTH sides of every VA `if`
+# and merges with jnp.where; models guard out-of-domain math (1/x, ln(x),
+# sqrt(x)) with branches, so untaken branches routinely evaluate at invalid
+# inputs. jnp.where discards their VALUES, but NaN/inf can still leak into
+# the residual through the tangents (e.g. d(a/b) at b=0, sqrt'(0)*0,
+# pow's log(a) term at a<=0). These wrappers keep values exact on the valid
+# domain and make values AND tangents finite off it (the VA-codegen analogue
+# of the reference's NaNMath usage, `src/va_env.jl:33-55`).
+
+def _safe_div(a, b):
+    bb = jnp.where(b == 0, 1.0, b)
+    return jnp.where(b == 0, 0.0, a / bb)
+
+
+def _safe_ln(x):
+    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), -690.0)
+
+
+def _safe_log10(x):
+    return jnp.where(x > 0, jnp.log10(jnp.where(x > 0, x, 1.0)), -300.0)
+
+
+def _safe_sqrt(x):
+    xs = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.sqrt(xs), 0.0)
+
+
+@jax.custom_jvp
+def _safe_pow(a, b):
+    return jnp.power(a, b)
+
+
+@_safe_pow.defjvp
+def _safe_pow_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    v = jnp.power(a, b)
+    # d/da: b*a^(b-1) — guard a=0 with b<1 (inf); d/db: v*ln(a) — guard a<=0
+    ga = b * jnp.power(jnp.where(a == 0, 1.0, a), b - 1.0)
+    ga = jnp.where(a == 0, jnp.where(b >= 1, jnp.where(b == 1, 1.0, 0.0),
+                                     0.0), ga)
+    gb = jnp.where(a > 0, v * jnp.log(jnp.where(a > 0, a, 1.0)), 0.0)
+    return v, ga * da + gb * db
+
+
 # math function tables (jnp, traced)
-_F1 = {"exp": jnp.exp, "ln": jnp.log, "log": jnp.log10, "log10": jnp.log10,
-       "sqrt": jnp.sqrt, "abs": jnp.abs, "sin": jnp.sin, "cos": jnp.cos,
+_F1 = {"exp": jnp.exp, "ln": _safe_ln, "log": _safe_log10,
+       "log10": _safe_log10,
+       "sqrt": _safe_sqrt, "abs": jnp.abs, "sin": jnp.sin, "cos": jnp.cos,
        "tan": jnp.tan, "asin": jnp.arcsin, "acos": jnp.arccos,
        "atan": jnp.arctan, "sinh": jnp.sinh, "cosh": jnp.cosh,
        "tanh": jnp.tanh, "floor": jnp.floor, "ceil": jnp.ceil}
-_F2 = {"pow": jnp.power, "min": jnp.minimum, "max": jnp.maximum,
+_F2 = {"pow": _safe_pow, "min": jnp.minimum, "max": jnp.maximum,
        "atan2": jnp.arctan2, "hypot": jnp.hypot}
 
 
@@ -724,7 +770,11 @@ class VACompiler:
 
     def _contrib(self, st, env, u, p, dyn, eff, s):
         acc, nets, expr = st[1], st[2], st[3]
-        val = self._eval_expr(expr, env, u, p, dyn, eff, s) * env.mask
+        raw = self._eval_expr(expr, env, u, p, dyn, eff, s)
+        # where-based masking, NOT raw*mask: an untaken branch may evaluate
+        # to NaN/inf (sqrt/log of out-of-domain values) and 0*NaN = NaN
+        # would poison the residual
+        val = jnp.where(env.mask != 0, raw * env.mask, 0.0)
         if len(nets) == 1 and nets[0] in self.mod.branches:
             tgt = self.mod.branches[nets[0]]     # named branch
         else:
@@ -1218,8 +1268,8 @@ def _host_binop(op, a, b):
 def _traced_binop(op, a, b):
     table = {
         "+": lambda: a + b, "-": lambda: a - b, "*": lambda: a * b,
-        "/": lambda: a / b, "%": lambda: jnp.fmod(a, b),
-        "**": lambda: jnp.power(a, b),
+        "/": lambda: _safe_div(a, b), "%": lambda: jnp.fmod(a, b),
+        "**": lambda: _safe_pow(a, b),
         "<": lambda: jnp.where(a < b, 1.0, 0.0),
         ">": lambda: jnp.where(a > b, 1.0, 0.0),
         "<=": lambda: jnp.where(a <= b, 1.0, 0.0),

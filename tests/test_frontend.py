@@ -225,10 +225,12 @@ rl s 0 1meg
 
 
 def test_title_and_comments():
-    cc = parse_spice("""* this netlist starts with a comment
-the actual title line
+    # SPICE semantics: the FIRST line is the title, even when it starts
+    # with '*'; elements begin on line 2 (ngspice behavior)
+    cc = parse_spice("""* the title is this comment line
 v1 in 0 1 ; trailing comment
 r1 in 0 1k $ another
 """)
     sol = dc(cc)
     assert bool(sol.converged)
+    assert float(sol["in"]) == pytest.approx(1.0)

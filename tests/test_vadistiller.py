@@ -108,3 +108,54 @@ def test_jfet1_idss_point():
     sol = ct.dc(cir.compile())
     assert bool(sol.converged)
     assert float(sol["d"]) == pytest.approx(6.0, rel=1e-6)
+
+
+def test_model_card_level_resolution():
+    # .model level=3 resolves through the tier-1 registry to mos3.va
+    # (reference ModelRegistry dispatch, `src/model_registry.jl:37-120`)
+    deck = """* level3 cs
+vdd vdd 0 dc 5
+vg g 0 dc 2
+rd vdd d 10k
+m1 d g 0 0 nch w=10u l=1u
+.model nch nmos level=3 vto=1 kp=50u
+"""
+    cc = ct.parse_spice(deck)
+    assert any(g.model.name == "va:sp_mos3" for g in cc.groups)
+    sol = ct.dc(cc)
+    assert bool(sol.converged)
+    assert float(sol["d"]) == pytest.approx(2.5, abs=1e-3)
+
+
+def test_model_card_level1_stays_builtin():
+    deck = """* level1 cs
+vdd vdd 0 dc 5
+vg g 0 dc 2
+rd vdd d 10k
+m1 d g 0 0 nch w=10u l=1u
+.model nch nmos level=1 vto=1 kp=50u
+"""
+    cc = ct.parse_spice(deck)
+    assert any(g.model.name == "mos1" for g in cc.groups)
+    assert float(ct.dc(cc)["d"]) == pytest.approx(2.5, abs=1e-3)
+
+
+def test_jfet_element_through_netlist():
+    deck = """* jfet bias
+vdd vdd 0 dc 10
+rd vdd d 1k
+j1 d 0 0 jm
+.model jm njf vt0=-2 beta=1m
+"""
+    sol = ct.dc(ct.parse_spice(deck))
+    assert bool(sol.converged)
+    assert float(sol["d"]) == pytest.approx(6.0, rel=1e-6)
+
+
+def test_leading_comment_is_title():
+    # SPICE reads the first line as title even when it starts with '*';
+    # elements on line 2 must not be swallowed
+    deck = "* my title\nv1 in 0 dc 5\nr1 in 0 1k\n"
+    cc = ct.parse_spice(deck)
+    sol = ct.dc(cc)
+    assert float(sol["in"]) == pytest.approx(5.0)
