@@ -121,7 +121,7 @@ class _Env:
 
     __slots__ = ("vars", "contrib", "mask", "noise_acc", "compiler",
                  "lim_w", "lim_d", "lim_rec", "lim_vnew", "lim_wsite",
-                 "vmask")
+                 "vmask", "ddx_vals", "ddx_recording")
 
     def __init__(self, compiler, n_local):
         self.vars = {}
@@ -135,6 +135,10 @@ class _Env:
         self.lim_rec = None        # {branch_idx: new state value}
         self.lim_vnew = None       # {site_idx: unlimited probe value}
         self.lim_wsite = None      # {site_idx: limited value}
+        # ddx support: precomputed per-site derivatives (main pass) /
+        # recording sink (jvp pre-pass sub-evaluation)
+        self.ddx_vals = None
+        self.ddx_recording = None
         # switch-branch bookkeeping: accumulated activation mask per
         # V-contribution branch unknown (LRM switch branches: a branch with
         # no active V contribution this evaluation is an OPEN branch, its
@@ -194,9 +198,22 @@ class VACompiler:
         self.limit_branches = []  # [(p_net, n_net|None)] unique, ordered
         self.limit_site_ids = {}  # id(expr) -> site_idx
         self._find_limits(mod.analog)
+        # ddx sites: id(expr) -> (inner_expr, wrt_local_node). Derivatives
+        # flow through ASSIGNED VARIABLE chains, so they are computed by a
+        # jvp pre-pass over the whole block per distinct wrt node (the
+        # reference's always-on node partials, `vasim.jl:122`)
+        self.ddx_sites = {}
+        self._find_ddx(mod.analog)
         # noise sites (static enumeration)
         self.noise_sites = []     # [(kind, branch(p,n))]
         self._find_noise(mod.analog, None)
+        # setup/load split (the reference's per-instance temp/geometry
+        # precomputation vs the load function, e.g. DIOtempUpdate/DIOload):
+        # statements that depend only on (params, dyn) are hoisted into a
+        # setup pass evaluated ONCE per assembly, outside linearization —
+        # for PSP-class models this removes the bulk of the traced graph
+        # from every Newton tangent pass
+        self.setup_stmts, self.runtime_stmts = self._split_setup()
         # (numeric defaults double as STRUCTURAL values for loop bounds and
         # laplace coefficients: those must be static under jit; per-instance
         # overrides of structural parameters are not supported yet)
@@ -313,6 +330,247 @@ class VACompiler:
             raise VACompileError(f"{kind}: numerator order must be below "
                                  f"denominator order")
         return (tuple(num), tuple(den))
+
+    def _find_ddx(self, stmts):
+        def walk_expr(e):
+            if not isinstance(e, tuple):
+                return
+            if e[0] == "call" and e[1] == "ddx" and len(e[2]) == 2:
+                wrt = e[2][1]
+                if wrt[0] == "acc" and wrt[2][0] in self.node_idx:
+                    self.ddx_sites[id(e)] = (e[2][0],
+                                             self.node_idx[wrt[2][0]])
+            for sub in e[1:]:
+                if isinstance(sub, tuple):
+                    walk_expr(sub)
+                elif isinstance(sub, list):
+                    for x in sub:
+                        walk_expr(x)
+
+        def walk(st):
+            for sub in st[1:]:
+                if isinstance(sub, tuple) and sub and \
+                        isinstance(sub[0], str) and sub[0] in (
+                            "block", "if", "for", "while", "repeat",
+                            "case", "contrib", "assign", "assign_idx",
+                            "sys", "event", "callstmt"):
+                    walk(sub)
+                elif isinstance(sub, tuple):
+                    walk_expr(sub)
+                elif isinstance(sub, list):
+                    for x in sub:
+                        if isinstance(x, tuple) and x and \
+                                isinstance(x[0], str) and x[0] in (
+                                    "block", "if", "contrib", "assign",
+                                    "callstmt"):
+                            walk(x)
+                        else:
+                            walk_expr(x)
+
+        for st in stmts:
+            walk(st)
+
+    def _ddx_prepass(self, u, p, dyn, eff, s, lim_w=None, lim_d=None,
+                     setup_vals=None):
+        """Per-site ddx derivatives: one jvp pass of the full analog block
+        per distinct wrt node, recording every site's inner value at its
+        own program point (variable reassignment between sites is
+        respected)."""
+        by_ni = {}
+        for sid, (inner, ni) in self.ddx_sites.items():
+            by_ni.setdefault(ni, []).append(sid)
+        vals = {}
+        sv = setup_vals if setup_vals is not None else self.run_setup(
+            p, dyn, eff)
+        for ni, sids in by_ni.items():
+            def h(uv, ni=ni, sids=sids):
+                env = _Env(self, self.n_local)
+                env.vars = dict(sv)
+                env.lim_w, env.lim_d = lim_w, lim_d
+                if lim_w is not None:
+                    env.lim_rec, env.lim_vnew, env.lim_wsite = {}, {}, {}
+                env.ddx_recording = {}
+                u2 = u.at[ni].set(uv)
+                self._init_vars(env, u2, p, dyn, eff, s)
+                for st in self.runtime_stmts:
+                    self._exec(st, env, u2, p, dyn, eff, s)
+                return tuple(env.ddx_recording.get(sid, 0.0)
+                             + jnp.zeros(()) for sid in sids)
+            _, tans = jax.jvp(h, (u[ni] + jnp.zeros(()),),
+                              (jnp.ones(()),))
+            for sid, t in zip(sids, tans):
+                vals[sid] = t
+        return vals
+
+    _ANALOG_CALLS = frozenset((
+        "ddt", "idt", "idtmod", "laplace_nd", "laplace_zp", "laplace_np",
+        "laplace_zd", "absdelay", "white_noise", "flicker_noise", "ddx",
+        "transition", "slew"))
+
+    def _fn_has_analog(self, fname, _seen=frozenset()):
+        if fname in _seen or fname not in self.mod.functions:
+            return False
+        f = self.mod.functions[fname]
+        seen = _seen | {fname}
+        return any(self._stmt_has_analog(st, seen) for st in f.body)
+
+    def _expr_has_analog(self, e, seen=frozenset()):
+        if not isinstance(e, tuple):
+            return False
+        if e[0] == "acc":
+            return True
+        if e[0] == "sysfn" and e[1] in ("$limit", "$analog_node_alias"):
+            return True
+        if e[0] == "call":
+            if e[1] in self._ANALOG_CALLS:
+                return True
+            if e[1] in self.mod.functions and self._fn_has_analog(e[1],
+                                                                  seen):
+                return True
+        for sub in e[1:]:
+            if isinstance(sub, tuple) and self._expr_has_analog(sub, seen):
+                return True
+            if isinstance(sub, list):
+                for x in sub:
+                    if self._expr_has_analog(x, seen):
+                        return True
+        return False
+
+    def _walk_stmt_parts(self, st):
+        """Yield ('stmt', s) / ('expr', e) for the direct parts of st."""
+        stmt_tags = ("block", "if", "for", "while", "repeat", "case",
+                     "contrib", "assign", "assign_idx", "sys", "event",
+                     "callstmt")
+        for sub in st[1:]:
+            if isinstance(sub, tuple):
+                if sub and isinstance(sub[0], str) and sub[0] in stmt_tags:
+                    yield ("stmt", sub)
+                else:
+                    yield ("expr", sub)
+            elif isinstance(sub, list):
+                for x in sub:
+                    if isinstance(x, tuple) and x and \
+                            isinstance(x[0], str) and x[0] in stmt_tags:
+                        yield ("stmt", x)
+                    elif isinstance(x, tuple):
+                        yield ("expr", x)
+                    elif isinstance(x, (list,)):
+                        for y in x:
+                            if isinstance(y, tuple):
+                                yield ("expr", y)
+
+    def _stmt_has_analog(self, st, seen=frozenset()):
+        if st[0] == "contrib":
+            return True
+        if st[0] == "callstmt" and st[1] in self.mod.functions and \
+                self._fn_has_analog(st[1], seen):
+            return True
+        for kind, part in self._walk_stmt_parts(st):
+            if kind == "stmt":
+                if self._stmt_has_analog(part, seen):
+                    return True
+            elif self._expr_has_analog(part, seen):
+                return True
+        return False
+
+    def _expr_reads_tainted(self, e, tainted):
+        if not isinstance(e, tuple):
+            return False
+        if e[0] == "name":
+            return e[1] in tainted
+        if e[0] == "index" and e[1] in tainted:
+            return True
+        for sub in e[1:]:
+            if isinstance(sub, tuple) and self._expr_reads_tainted(
+                    sub, tainted):
+                return True
+            if isinstance(sub, list):
+                for x in sub:
+                    if self._expr_reads_tainted(x, tainted):
+                        return True
+        return False
+
+    def _stmt_reads_tainted(self, st, tainted):
+        for kind, part in self._walk_stmt_parts(st):
+            if kind == "stmt":
+                if self._stmt_reads_tainted(part, tainted):
+                    return True
+            elif self._expr_reads_tainted(part, tainted):
+                return True
+        return False
+
+    def _stmt_writes(self, st, out):
+        k = st[0]
+        if k in ("assign", "assign_idx"):
+            out.add(st[1])
+        elif k == "callstmt":
+            # conservative: any name argument may be an output
+            for a in st[2]:
+                if isinstance(a, tuple) and a[0] == "name":
+                    out.add(a[1])
+        elif k == "block":
+            for s in st[1]:
+                self._stmt_writes(s, out)
+        elif k == "if":
+            self._stmt_writes(st[2], out)
+            if st[3] is not None:
+                self._stmt_writes(st[3], out)
+        elif k == "for":
+            self._stmt_writes(st[1], out)
+            self._stmt_writes(st[3], out)
+            self._stmt_writes(st[4], out)
+        elif k in ("while", "repeat", "event"):
+            self._stmt_writes(st[-1], out)
+        elif k == "case":
+            for _, s in st[2]:
+                self._stmt_writes(s, out)
+
+    def _split_setup(self):
+        """Forward single-pass classification of the analog block into
+        (setup, runtime) statement lists. A statement is setup iff nothing
+        inside it touches analog state (access functions, ddt/noise/$limit,
+        contributions) or reads a runtime-written variable; runtime writes
+        taint forward. Bare begin/end blocks are split child-by-child;
+        control statements are all-or-nothing."""
+        tainted = set()
+
+        def walk(stmts, out_setup, out_runtime):
+            for st in stmts:
+                if st[0] == "block":
+                    sc, rc = [], []
+                    walk(st[1], sc, rc)
+                    if sc:
+                        out_setup.append(("block", sc))
+                    if rc:
+                        out_runtime.append(("block", rc))
+                    continue
+                if st[0] == "event":
+                    sc, rc = [], []
+                    walk([st[1]], sc, rc)
+                    if sc:
+                        out_setup.append(("event", ("block", sc)))
+                    if rc:
+                        out_runtime.append(("event", ("block", rc)))
+                    continue
+                if (not self._stmt_has_analog(st)
+                        and not self._stmt_reads_tainted(st, tainted)):
+                    out_setup.append(st)
+                else:
+                    out_runtime.append(st)
+                    self._stmt_writes(st, tainted)
+
+        setup, runtime = [], []
+        walk(self.mod.analog, setup, runtime)
+        return setup, runtime
+
+    def run_setup(self, p, dyn, eff):
+        """Evaluate the (params, dyn)-only prefix once; returns the var
+        environment the runtime pass starts from."""
+        env = _Env(self, self.n_local)
+        self._init_vars(env, None, p, dyn, eff, 0.0, which="setup")
+        for st in self.setup_stmts:
+            self._exec(st, env, None, p, dyn, eff, 0.0)
+        return env.vars
 
     def _find_noise(self, stmts, branch):
         for st in stmts:
@@ -466,11 +724,17 @@ class VACompiler:
 
         def residual(u, p, dyn):
             eff = comp.effective_params(p, dyn)
+            sv = comp.run_setup(p, dyn, eff)
 
             def block(s):
                 env = _Env(comp, comp.n_local)
+                env.vars = dict(sv)
+                # no ddx prepass on the hot residual path: in practice ddx
+                # feeds op-vars/noise only (PSP gates them behind OPderiv);
+                # the opvars/noise paths run the full prepass. A model that
+                # CONTRIBUTED a var-chain ddx result would see 0 here.
                 comp._init_vars(env, u, p, dyn, eff, s)
-                for st in comp.mod.analog:
+                for st in comp.runtime_stmts:
                     comp._exec(st, env, u, p, dyn, eff, s)
                 comp._close_switch_branches(env, u)
                 return env.contrib
@@ -558,16 +822,18 @@ class VACompiler:
 
         def residual_lim(u, d, w, p, dyn):
             eff = comp.effective_params(p, dyn)
+            sv = comp.run_setup(p, dyn, eff)
 
             def block(s):
                 env = _Env(comp, comp.n_local)
+                env.vars = dict(sv)
                 env.lim_w = w
                 env.lim_d = d
                 env.lim_rec = {}
                 env.lim_vnew = {}
                 env.lim_wsite = {}
                 comp._init_vars(env, u, p, dyn, eff, s)
-                for st in comp.mod.analog:
+                for st in comp.runtime_stmts:
                     comp._exec(st, env, u, p, dyn, eff, s)
                 comp._close_switch_branches(env, u)
                 zero = jnp.zeros(())
@@ -591,9 +857,14 @@ class VACompiler:
 
         def noise_fn(u, p, dyn):
             eff = comp.effective_params(p, dyn)
+            sv = comp.run_setup(p, dyn, eff)
             env = _Env(comp, comp.n_local)
+            env.vars = dict(sv)
+            if comp.ddx_sites:
+                env.ddx_vals = comp._ddx_prepass(u, p, dyn, eff, 0.0,
+                                                 setup_vals=sv)
             comp._init_vars(env, u, p, dyn, eff, 0.0)
-            for st in comp.mod.analog:
+            for st in comp.runtime_stmts:
                 comp._exec(st, env, u, p, dyn, eff, 0.0)
             got = {sid: (w, fl) for sid, w, fl in env.noise_acc}
             out_w = []
@@ -604,9 +875,14 @@ class VACompiler:
 
         def flicker_fn(u, p, dyn):
             eff = comp.effective_params(p, dyn)
+            sv = comp.run_setup(p, dyn, eff)
             env = _Env(comp, comp.n_local)
+            env.vars = dict(sv)
+            if comp.ddx_sites:
+                env.ddx_vals = comp._ddx_prepass(u, p, dyn, eff, 0.0,
+                                                 setup_vals=sv)
             comp._init_vars(env, u, p, dyn, eff, 0.0)
-            for st in comp.mod.analog:
+            for st in comp.runtime_stmts:
                 comp._exec(st, env, u, p, dyn, eff, 0.0)
             got = {sid: (w, fl) for sid, w, fl in env.noise_acc}
             nums, exps = [], []
@@ -708,14 +984,31 @@ class VACompiler:
             else:
                 raise VACompileError("for loop exceeded 10000 iterations")
         elif k == "while":
-            for _ in range(10000):
-                c = self._try_host(st[1], env, eff)
-                if c is None:
-                    raise VACompileError(
-                        "while-loop condition must be host-evaluable")
-                if not c:
-                    break
-                self._exec(st[2], env, u, p, dyn, eff, s)
+            c0 = self._try_host(st[1], env, eff)
+            if c0 is None:
+                # traced condition (e.g. PSP stress loop over NF fingers):
+                # bounded masked unroll — iterations beyond the true count
+                # execute with mask 0 and change nothing. Cap chosen from
+                # the structural value of the comparison bound when
+                # host-evaluable, else a fixed 12.
+                cap = 12
+                if st[1][0] == "bin" and st[1][1] in ("<", "<="):
+                    b = self._try_host(st[1][3], env, eff)
+                    if b is not None and 0 < b < 64:
+                        cap = int(math.ceil(b)) + 1
+                for _ in range(cap):
+                    cond = self._eval_expr(st[1], env, u, p, dyn, eff, s)
+                    self._exec_masked(st[2], None, cond, env, u, p, dyn,
+                                      eff, s)
+            else:
+                for _ in range(10000):
+                    c = self._try_host(st[1], env, eff)
+                    if c is None:
+                        raise VACompileError(
+                            "while-loop condition must be host-evaluable")
+                    if not c:
+                        break
+                    self._exec(st[2], env, u, p, dyn, eff, s)
         elif k == "repeat":
             cnt = self._try_host(st[1], env, eff)
             if cnt is None:
@@ -991,18 +1284,31 @@ class VACompiler:
             env.noise_acc.append((id(e), psd * env.mask, ex))
             return jnp.zeros(())
         if fn == "ddx":
-            # ddx(expr, V(node)): partial derivative via jax.grad on a
-            # sub-evaluation w.r.t. that node voltage
             inner, wrt = e[2][0], e[2][1]
             if wrt[0] != "acc":
                 raise VACompileError("ddx needs an access-function arg")
+            sid = id(e)
+            if env.ddx_recording is not None:
+                # jvp pre-pass sub-evaluation: record this site's inner
+                # value at its program point; nested ddx results are not
+                # differentiated through (return 0 tangent carrier)
+                if sid in self.ddx_sites:
+                    val = self._eval_expr(inner, env, u, p, dyn, eff, s)
+                    env.ddx_recording[sid] = val
+                return jnp.zeros(())
+            if env.ddx_vals is not None and sid in env.ddx_vals:
+                return env.ddx_vals[sid]
+            # fallback (ddx inside a user function / non-prepassed path):
+            # differentiate the leaf expression in the CURRENT variable
+            # environment (upstream assignment chains are constants here)
             ni = self.node_idx[wrt[2][0]]
 
-            def f(uv):
+            def fleaf(uv):
+                sub = _Env(self, self.n_local)
+                sub.vars = dict(env.vars)
                 u2 = u.at[ni].set(uv)
-                return self._eval_expr(inner, _Env(self, self.n_local), u2,
-                                       p, dyn, eff, 0.0)
-            return jax.grad(f)(u[ni])
+                return self._eval_expr(inner, sub, u2, p, dyn, eff, 0.0)
+            return jax.grad(fleaf)(u[ni])
         if fn in self.mod.functions:
             return self._user_fn(fn, e[2], env, u, p, dyn, eff, s)
         args = [self._eval_expr(a, env, u, p, dyn, eff, s) for a in e[2]]
@@ -1053,12 +1359,18 @@ class VACompiler:
             open_w = 1.0 - jnp.clip(act, 0.0, 1.0)
             env.contrib = env.contrib.at[j].add(open_w * u[j])
 
-    def _init_vars(self, env, u, p, dyn, eff, s):
-        """Module-level variable initializers (`real x = expr;`)."""
+    def _init_vars(self, env, u, p, dyn, eff, s, which="runtime"):
+        """Module-level variable initializers (`real x = expr;`).
+        which="setup" evaluates the (params, dyn)-only initializers;
+        "runtime" the analog-dependent rest (rare)."""
         for nm, vinfo in self.mod.variables.items():
             init = vinfo[2] if len(vinfo) > 2 else None
-            if init is not None:
-                env.vars[nm] = self._eval_expr(init, env, u, p, dyn, eff, s)
+            if init is None:
+                continue
+            is_setup = not self._expr_has_analog(init)
+            if (which == "setup") == is_setup:
+                env.vars[nm] = self._eval_expr(init, env, u, p, dyn, eff,
+                                               s)
 
     def _user_fn(self, fname, arg_exprs, env, u, p, dyn, eff, s,
                  pre_args=None):
@@ -1262,6 +1574,11 @@ def _host_binop(op, a, b):
         "==": lambda: float(a == b), "!=": lambda: float(a != b),
         "&&": lambda: float(a != 0 and b != 0),
         "||": lambda: float(a != 0 or b != 0),
+        "&": lambda: float(int(a) & int(b)),
+        "|": lambda: float(int(a) | int(b)),
+        "^": lambda: float(int(a) ^ int(b)),
+        "<<": lambda: float(int(a) << int(b)),
+        ">>": lambda: float(int(a) >> int(b)),
     }[op]()
 
 
@@ -1278,6 +1595,17 @@ def _traced_binop(op, a, b):
         "!=": lambda: jnp.where(a != b, 1.0, 0.0),
         "&&": lambda: jnp.where((a != 0) & (b != 0), 1.0, 0.0),
         "||": lambda: jnp.where((a != 0) | (b != 0), 1.0, 0.0),
+        # bitwise ops on VA integers (flag packing in big models)
+        "&": lambda: (jnp.asarray(a, jnp.int32)
+                      & jnp.asarray(b, jnp.int32)).astype(jnp.float64),
+        "|": lambda: (jnp.asarray(a, jnp.int32)
+                      | jnp.asarray(b, jnp.int32)).astype(jnp.float64),
+        "^": lambda: (jnp.asarray(a, jnp.int32)
+                      ^ jnp.asarray(b, jnp.int32)).astype(jnp.float64),
+        "<<": lambda: (jnp.asarray(a, jnp.int32)
+                       << jnp.asarray(b, jnp.int32)).astype(jnp.float64),
+        ">>": lambda: (jnp.asarray(a, jnp.int32)
+                       >> jnp.asarray(b, jnp.int32)).astype(jnp.float64),
     }
     return table[op]()
 
@@ -1461,9 +1789,14 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
     if op_names:
         def opvars_fn(u, p, dyn):
             eff = comp.effective_params(p, dyn)
+            sv = comp.run_setup(p, dyn, eff)
             env = _Env(comp, comp.n_local)
+            env.vars = dict(sv)
+            if comp.ddx_sites:
+                env.ddx_vals = comp._ddx_prepass(u, p, dyn, eff, 0.0,
+                                                 setup_vals=sv)
             comp._init_vars(env, u, p, dyn, eff, 0.0)
-            for st in mod.analog:
+            for st in comp.runtime_stmts:
                 comp._exec(st, env, u, p, dyn, eff, 0.0)
             return {nm: env.vars.get(nm, 0.0) for nm in op_names}
 
