@@ -111,6 +111,20 @@ def collect_breakpoints(cc: CompiledCircuit, tstop: float) -> np.ndarray:
     return b
 
 
+def _interp_hist(ht, hv, tq):
+    """Per-site linear interpolation into the absdelay history ring:
+    ht [H] ascending times, hv [H, D] recorded values, tq [D] query times.
+    Queries outside the recorded range clamp to the nearest endpoint (the
+    pre-t0 history is the DC value — standard SPICE DDE initial history)."""
+    H = ht.shape[0]
+    i = jnp.clip(jnp.searchsorted(ht, tq, side="right"), 1, H - 1)
+    t_lo = ht[i - 1]
+    t_hi = ht[i]
+    w = jnp.clip((tq - t_lo) / jnp.maximum(t_hi - t_lo, 1e-300), 0.0, 1.0)
+    d = jnp.arange(tq.shape[0])
+    return hv[i - 1, d] + w * (hv[i, d] - hv[i - 1, d])
+
+
 def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
     """Third divided difference over (tc,xc),(t0,x0),(t1,x1),(t2,x2)."""
     tiny = 1e-300
@@ -125,7 +139,8 @@ def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
 
 def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                      method: str | None = None, integ: str = "trap",
-                     trace: bool = False, save_window: int = 0):
+                     trace: bool = False, save_window: int = 0,
+                     delay_hist: int = 1024):
     """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
     hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced.
 
@@ -137,9 +152,12 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
     drops by an order of magnitude, and under vmap every sweep lane
     advances through its own Newton iterations without lockstep barriers.
     """
+    from ..mna.assemble import make_delay_meta
     from ..mna.devices import CLASS_V
     from ..mna.newton import _make_assemble_solve
     assemble, solve_J, matvec = _make_assemble_solve(cc, None, method)
+    dmeta = make_delay_meta(cc)   # absdelay history (None for most circuits)
+    H = int(delay_hist)
     atol = abstol_vector(cc)
     is_v = jnp.asarray(cc.classes == CLASS_V)
     spec = cc.spec
@@ -154,6 +172,13 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         xs = jnp.zeros((n_save + max(W, 0), n), DTYPE)
         save_ts_pad = jnp.concatenate(
             [save_ts, jnp.full(max(W, 0), jnp.inf, DTYPE)])
+        if dmeta is not None:
+            # absdelay history ring, seeded with the initial (DC) probe
+            # values — the constant pre-t0 history function (reference
+            # `src/mna/delay.jl:20-28` h(p, t-τ))
+            v0_dly, taus = dmeta.probe(pad_state(x0), params,
+                                       dyn0._replace(time=t0))
+            tau_cap = jnp.min(jnp.where(taus > 0, taus, jnp.inf))
 
         def save_points(si, xs, t_old, x_old, t_new, x_new):
             """Fill every grid point in (t_old, t_new] by linear
@@ -193,6 +218,11 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             t, h, x = s["t"], s["h"], s["x"]
             bp_t = bp_times[jnp.minimum(s["bp_i"], n_bp - 1)]
             h_eff = jnp.minimum(jnp.minimum(h, hmax), tstop - t)
+            if dmeta is not None:
+                # never step past the shortest transport delay: the
+                # delayed values are explicit history, so t - τ must land
+                # at or before the last accepted point
+                h_eff = jnp.minimum(h_eff, jnp.maximum(tau_cap, hmin))
             to_bp = bp_t - t
             h_eff = jnp.where((to_bp > 0) & (to_bp < h_eff * 1.5),
                               jnp.minimum(h_eff, to_bp), h_eff)
@@ -217,9 +247,13 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             dt1 = jnp.maximum(t - s["t1"], 1e-300)
             slope = (x - s["x1"]) / dt1
             x_pred = jnp.where(s["naccept"] >= 1, x + slope * h_eff, x)
-            return dict(h_eff=h_eff, t_new=t_new, c0=c0, rhs_q=rhs_q,
-                        hit_bp=hit_bp, use_be=use_be, xi=x_pred,
-                        it=jnp.int32(0))
+            trial = dict(h_eff=h_eff, t_new=t_new, c0=c0, rhs_q=rhs_q,
+                         hit_bp=hit_bp, use_be=use_be, xi=x_pred,
+                         it=jnp.int32(0))
+            if dmeta is not None:
+                trial["dly"] = _interp_hist(s["hist_t"], s["hist_v"],
+                                            t_new - taus)
+            return trial
 
         # flattened state: accepted quantities + in-flight trial
         si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
@@ -232,6 +266,9 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             nnewton=jnp.int32(0), fail=jnp.asarray(False),
             nsteps=jnp.int32(0), nrej_run=jnp.int32(0),
             hold=jnp.int32(0))
+        if dmeta is not None:
+            state["hist_t"] = jnp.full(H, t0, DTYPE)
+            state["hist_v"] = jnp.tile(v0_dly[None, :], (H, 1))
         if trace:
             # solver observability: per-Newton-iteration log of
             # (t_new, h_eff, it, conv, enorm, accept) — ring buffer
@@ -248,8 +285,9 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             c0, rhs_q = s["c0"], s["rhs_q"]
             dyn = dyn0._replace(time=s["t_new"],
                                 mode=jnp.asarray(MODE_TRAN, jnp.int32))
-            F, Q, G, C, lim_new = assemble(pad_state(s["xi"]), s["lim"],
-                                           params, dyn)
+            F, Q, G, C, lim_new = assemble(
+                pad_state(s["xi"]), s["lim"], params, dyn,
+                s["dly"] if dmeta is not None else None)
             Ft = F + c0 * Q - rhs_q
             dx = solve_J(G, C, c0, -Ft)
             if spec.max_dv > 0:
@@ -357,12 +395,27 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                                          s["hold"])),
                 fail=s["fail"] | fail_now | (s["nrej_run"] > 100),
                 nsteps=s["nsteps"] + newton_done.astype(jnp.int32))
+            if dmeta is not None:
+                # record the accepted point's delayed-expression values
+                # into the (chronologically ordered, shift-left) ring
+                v_now, _ = dmeta.probe(pad_state(xi_new), params, dyn)
+                ns["hist_t"] = jnp.where(
+                    accept,
+                    jnp.concatenate([s["hist_t"][1:],
+                                     jnp.reshape(t_new, (1,))]),
+                    s["hist_t"])
+                ns["hist_v"] = jnp.where(
+                    accept,
+                    jnp.concatenate([s["hist_v"][1:], v_now[None, :]]),
+                    s["hist_v"])
 
             # next trial: fresh setup when this one finished, else continue
             trial = setup_trial(ns)
             keep = dict(h_eff=s["h_eff"], t_new=s["t_new"], c0=s["c0"],
                         rhs_q=s["rhs_q"], hit_bp=s["hit_bp"],
                         use_be=s["use_be"], xi=xi_new, it=it)
+            if dmeta is not None:
+                keep["dly"] = s["dly"]
             for k in trial:
                 ns[k] = jax.tree.map(
                     lambda a, b: jnp.where(newton_done, a, b),
@@ -404,7 +457,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
          n_save: int | None = None, save_ts=None, max_steps: int = 200_000,
          x0=None, method: str | None = None, integ: str = "trap",
          ic: dict | None = None, uic: bool = False, trace: bool = False,
-         _vmap_axes=None) -> TranSolution:
+         delay_hist: int = 1024, _vmap_axes=None) -> TranSolution:
     """Transient analysis over tspan=(t0, tstop).
 
     dt: suggested output resolution (SPICE .tran tstep); dtmax: max internal
@@ -454,6 +507,27 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
 
     bp = collect_breakpoints(cc, tstop)
     bp = bp[bp > t0]
+    # transport-delay breakpoint echoes: a source kink at b re-emerges at
+    # the output of every absdelay site at b + k*tau (reference expands
+    # breakpoints into solver tstops, `src/mna/solve.jl:1847-1918`; the
+    # DDE path needs the delayed images too)
+    if _vmap_axes is None:
+        from ..mna.assemble import make_delay_meta, pad_state as _padst
+        dmeta0 = make_delay_meta(cc)
+        if dmeta0 is not None:
+            _, taus0 = dmeta0.probe(_padst(x0), params,
+                                    cc.spec.dyn(mode=MODE_TRANOP, time=t0))
+            taus0 = np.unique(np.asarray(taus0))
+            taus0 = taus0[taus0 > 0]
+            ext = [bp, np.asarray([t0])]
+            for k_echo in (1, 2):
+                for tau_v in taus0:
+                    ext.append(bp + k_echo * float(tau_v))
+                    ext.append(np.asarray([t0 + k_echo * float(tau_v)]))
+            bp = np.unique(np.concatenate(ext))
+            bp = bp[(bp > t0) & (bp <= tstop)]
+            if bp.size == 0 or bp[-1] != tstop:
+                bp = np.append(bp, tstop)
     # windowed saving: a step crosses at most ceil(dtmax/save_dt)+1 grid
     # points; when that window is much smaller than the grid, write only a
     # W-row dynamic slice per iteration instead of the whole grid
@@ -466,12 +540,13 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     use_window = (W <= n_save // 4) and jax.default_backend() == "cpu"
     save_window = W if use_window else 0
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
-           trace, save_window,
+           trace, save_window, int(delay_hist),
            None if _vmap_axes is None else str(_vmap_axes))
     if key not in cc.cache:
         runner = make_tran_runner(cc, n_save, max_steps, method=method,
                                   integ=integ, trace=trace,
-                                  save_window=save_window)
+                                  save_window=save_window,
+                                  delay_hist=delay_hist)
         rhs = make_rhs_assembler(cc)
         if cc.bbd is not None:
             from ..mna.bbd_assemble import make_bbd_assembler

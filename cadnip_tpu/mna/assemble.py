@@ -111,6 +111,7 @@ def make_assembler(cc: CompiledCircuit):
     np1 = n + 1
     consts = []
     lim_off = 0
+    dly_off = 0
     for g in cc.groups:
         conn = jnp.asarray(g.conn, jnp.int32)
         lin = (g.conn[:, :, None] * np1 + g.conn[:, None, :]).reshape(-1)
@@ -124,8 +125,15 @@ def make_assembler(cc: CompiledCircuit):
             size = g.conn.size
             sl = (lim_off, lim_off + size, g.conn.shape)
             lim_off += size
-        consts.append((g.model, conn, jnp.asarray(lin, jnp.int32), sl))
+        dsl = None
+        if g.model.n_delay_sites:
+            S = g.model.n_delay_sites
+            size = g.conn.shape[0] * S
+            dsl = (dly_off, dly_off + size, (g.conn.shape[0], S))
+            dly_off += size
+        consts.append((g.model, conn, jnp.asarray(lin, jnp.int32), sl, dsl))
     n_lim = lim_off
+    n_delay = dly_off
     # gshunt lands on node-voltage diagonals only (reference build.jl gshunt)
     vnode_idx = jnp.asarray(np.where(cc.classes == CLASS_V)[0], jnp.int32)
 
@@ -133,20 +141,24 @@ def make_assembler(cc: CompiledCircuit):
         if n_lim == 0:
             return jnp.zeros(0, DTYPE)
         parts = []
-        for model, conn, _, sl in consts:
+        for model, conn, _, sl, _ in consts:
             if sl is None:
                 continue
             parts.append(_lim_seed(model, conn, x_pad))
         return jnp.concatenate(parts)
 
-    def assemble(x_pad, lim, params, dyn: DynSpec):
+    def assemble(x_pad, lim, params, dyn: DynSpec, dly=None):
         F = jnp.zeros(np1, DTYPE)
         Q = jnp.zeros(np1, DTYPE)
         Gf = jnp.zeros(np1 * np1, DTYPE)
         Cf = jnp.zeros(np1 * np1, DTYPE)
         lim_new = lim
-        for (model, conn, lin, sl), p in zip(consts, params):
+        for (model, conn, lin, sl, dsl), p in zip(consts, params):
             u = x_pad[conn]
+            if dsl is not None and dly is not None:
+                # delayed-expression history values, per instance
+                p = dict(p)
+                p["__dly__"] = dly[dsl[0]:dsl[1]].reshape(dsl[2])
             if sl is not None:
                 u_lim_prev = lim[sl[0]:sl[1]].reshape(sl[2])
             else:
@@ -172,7 +184,43 @@ def make_assembler(cc: CompiledCircuit):
 
     assemble.init_lim = init_lim
     assemble.n_lim = n_lim
+    assemble.n_delay = n_delay
     return assemble
+
+
+def make_delay_meta(cc: CompiledCircuit):
+    """Delay-history metadata for circuits with absdelay devices: returns
+    None, or an object with `.size` (total delay sites over all instances)
+    and `.probe(x_pad, params, dyn) -> (vals [size], taus [size])` — the
+    instantaneous values and delays of every absdelay'd expression, in the
+    flat order the assembler's '__dly__' injection expects."""
+    metas = []
+    size = 0
+    for gi, g in enumerate(cc.groups):
+        if not g.model.n_delay_sites:
+            continue
+        metas.append((gi, g.model, jnp.asarray(g.conn, jnp.int32)))
+        size += g.conn.shape[0] * g.model.n_delay_sites
+    if not metas:
+        return None
+
+    def probe(x_pad, params, dyn):
+        vals, taus = [], []
+        for gi, model, conn in metas:
+            u = x_pad[conn]
+            v, t = jax.vmap(model.delay_probe,
+                            in_axes=(0, 0, None))(u, params[gi], dyn)
+            vals.append(v.reshape(-1))
+            taus.append(t.reshape(-1))
+        return jnp.concatenate(vals), jnp.concatenate(taus)
+
+    class _Meta:
+        pass
+
+    m = _Meta()
+    m.size = size
+    m.probe = probe
+    return m
 
 
 def make_rhs_assembler(cc: CompiledCircuit):

@@ -143,14 +143,29 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
                 parts.append(_lim_seed(model, conn, x_pad))
         return jnp.concatenate(parts)
 
-    def assemble(x_pad, lim, params, dyn: DynSpec):
+    dly_off = 0
+    dly_slices = []
+    for g in cc.groups:
+        if g.model.n_delay_sites:
+            S = g.model.n_delay_sites
+            dly_slices.append((dly_off, dly_off + g.conn.shape[0] * S,
+                               (g.conn.shape[0], S)))
+            dly_off += g.conn.shape[0] * S
+        else:
+            dly_slices.append(None)
+
+    def assemble(x_pad, lim, params, dyn: DynSpec, dly=None):
         F = jnp.zeros(n + 1, DTYPE)
         Q = jnp.zeros(n + 1, DTYPE)
         Gt = {t: jnp.zeros(sizes[t] + 1, DTYPE) for t in range(4)}
         Ct = {t: jnp.zeros(sizes[t] + 1, DTYPE) for t in range(4)}
         lim_new = lim
-        for (model, conn, idx, sl), p in zip(consts, params):
+        for (model, conn, idx, sl), p, dsl in zip(consts, params,
+                                                  dly_slices):
             u = x_pad[conn]
+            if dsl is not None and dly is not None:
+                p = dict(p)
+                p["__dly__"] = dly[dsl[0]:dsl[1]].reshape(dsl[2])
             if sl is not None:
                 u_lim_prev = lim[sl[0]:sl[1]].reshape(sl[2])
             else:
@@ -182,4 +197,5 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
 
     assemble.init_lim = init_lim
     assemble.n_lim = n_lim
+    assemble.n_delay = dly_off
     return assemble

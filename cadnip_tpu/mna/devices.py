@@ -84,7 +84,14 @@ class DeviceModel:
     residual_lim: Optional[Callable] = None
     lim_branches: tuple = ()              # ((p_local, n_local|None), ...)
     n_lim_sites: int = 0
-    # collapse internal node to terminal when a param is zero, etc. (future)
+    # VA `absdelay` transport-delay sites (reference DDE path,
+    # `src/mna/delay.jl:20-28`): delay_probe(u, p, dyn) -> (vals, taus),
+    # each [n_delay_sites] — the current value of every delayed expression
+    # and its delay. The transient runner records vals into a history ring
+    # after each accepted step and feeds interpolated past values back into
+    # the residual through the params dict under '__dly__'.
+    n_delay_sites: int = 0
+    delay_probe: Optional[Callable] = None
 
     @property
     def n_terminals(self):

@@ -24,9 +24,10 @@ reference's `make_mna_device` (`src/vasim.jl:201-584`):
   * **noise**: white_noise/flicker_noise sites are collected in a second
     interpretation pass gated masks included (`vasim.jl:2825-2894`).
 
-`$table_model` (1-D/2-D gridded interpolation, loaded at compile time) and
+`$table_model` (1-D/2-D gridded interpolation, loaded at compile time),
 the laplace_nd/zp/np/zd filters (controllable-canonical state-space with
-extra internal unknowns) are supported.
+extra internal unknowns), and `absdelay` transport delay (history ring in
+the transient runner, see `analyses/tran.py`) are supported.
 
 `$limit` carries real limiter state across Newton iterations (pnjlim /
 fetlim or a user-named function against the previous ITERATE's limited
@@ -121,7 +122,7 @@ class _Env:
 
     __slots__ = ("vars", "contrib", "mask", "noise_acc", "compiler",
                  "lim_w", "lim_d", "lim_rec", "lim_vnew", "lim_wsite",
-                 "vmask", "ddx_vals", "ddx_recording")
+                 "vmask", "ddx_vals", "ddx_recording", "delay_rec")
 
     def __init__(self, compiler, n_local):
         self.vars = {}
@@ -139,6 +140,9 @@ class _Env:
         # recording sink (jvp pre-pass sub-evaluation)
         self.ddx_vals = None
         self.ddx_recording = None
+        # absdelay probe pass: {site_idx: (value_now, tau)} sink; None in
+        # the residual pass (which reads p['__dly__'] instead)
+        self.delay_rec = None
         # switch-branch bookkeeping: accumulated activation mask per
         # V-contribution branch unknown (LRM switch branches: a branch with
         # no active V contribution this evaluation is an OPEN branch, its
@@ -177,6 +181,7 @@ class VACompiler:
         self.idt_sites = {}       # site id -> state unknown index
         self.laplace_sites = {}   # site id -> (first state idx, n_states,
         #                              num coeffs, den coeffs)
+        self.delay_sites = {}     # absdelay site id -> site index
         self._discover(mod.analog)
         self.n_local = nxt = self.n_nodes
         for key in self.vbranches:
@@ -265,9 +270,10 @@ class VACompiler:
                     self.structural_params |= deps & set(
                         self.mod.parameters)
             if e[0] == "call" and e[1] == "absdelay":
-                raise VACompileError(
-                    f"module {self.mod.name}: absdelay requires "
-                    f"delay-history (DDE) support, not available yet")
+                # transport delay (reference `src/mna/delay.jl:20-28`):
+                # one history site per call, value threaded back through
+                # the transient runner's ring buffer
+                self.delay_sites.setdefault(id(e), len(self.delay_sites))
             for sub in e[1:]:
                 if isinstance(sub, tuple):
                     walk_expr(sub)
@@ -850,6 +856,36 @@ class VACompiler:
 
         return residual_lim
 
+    def make_delay_probe(self):
+        """probe(u, p, dyn) -> (vals, taus), each [n_delay_sites]: the
+        instantaneous value of every absdelay'd expression and its delay.
+        The transient runner records vals into a per-site history ring on
+        every accepted step and interpolates at t - tau for the residual
+        (reference DDE history function, `src/mna/delay.jl:20-28`)."""
+        if not self.delay_sites:
+            return None
+        comp = self
+        S = len(self.delay_sites)
+
+        def probe(u, p, dyn):
+            eff = comp.effective_params(p, dyn)
+            sv = comp.run_setup(p, dyn, eff)
+            env = _Env(comp, comp.n_local)
+            env.vars = dict(sv)
+            env.delay_rec = {}
+            if comp.ddx_sites:
+                env.ddx_vals = comp._ddx_prepass(u, p, dyn, eff, 0.0,
+                                                 setup_vals=sv)
+            comp._init_vars(env, u, p, dyn, eff, 0.0)
+            for st in comp.runtime_stmts:
+                comp._exec(st, env, u, p, dyn, eff, 0.0)
+            zero = jnp.zeros(())
+            vals = jnp.stack([env.delay_rec[j][0] + zero for j in range(S)])
+            taus = jnp.stack([env.delay_rec[j][1] + zero for j in range(S)])
+            return vals, taus
+
+        return probe
+
     def make_noise(self):
         comp = self
         if not self.noise_sites:
@@ -1267,10 +1303,22 @@ class VACompiler:
             # filtering lands with event timing support)
             return self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
         if fn == "absdelay":
-            # transport delay needs a history buffer (DDE) — not yet
-            # supported; pass through with a warning at compile time
-            raise VACompileError("absdelay requires delay-history support "
-                                 "(planned); not available yet")
+            # transport delay (reference `src/mna/delay.jl:20-28`).
+            # Probe pass: record (value now, tau) for the history ring.
+            # Residual pass inside the transient runner: read the
+            # interpolated past value from p['__dly__'] (explicit
+            # coupling — the delayed value is history, constant w.r.t.
+            # the current unknowns). DC / no-runner contexts fall back to
+            # the instantaneous value (absdelay is the identity at DC).
+            j = self.delay_sites[id(e)]
+            if env.delay_rec is not None:
+                val = self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
+                tau = self._eval_expr(e[2][1], env, u, p, dyn, eff, s)
+                env.delay_rec[j] = (val, tau)
+                return val
+            if isinstance(p, dict) and "__dly__" in p:
+                return p["__dly__"][j]
+            return self._eval_expr(e[2][0], env, u, p, dyn, eff, s)
         if fn == "limexp":
             return _limexp(self._eval_expr(e[2][0], env, u, p, dyn, eff, s))
         if fn == "white_noise":
@@ -1817,6 +1865,8 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
         noise_pairs=noise_pairs,
         opvars=opvars_fn,
         structural_params=tuple(sorted(comp.structural_params)),
+        n_delay_sites=len(comp.delay_sites),
+        delay_probe=comp.make_delay_probe(),
     )
 
 
