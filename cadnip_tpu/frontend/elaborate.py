@@ -809,6 +809,12 @@ class Elaborator:
         if len(node_names) != n_term:
             raise ElabError(f"{name}: VA module {model.name} has {n_term} "
                             f"ports, got {len(node_names)} nodes")
+        if model.va_specialize is not None:
+            # node-collapse specialization for this parameter signature
+            # (reference detect_short_circuits, vasim.jl:2723): `V(a,b)<+0`
+            # branches decided by the instance's effective parameters merge
+            # their nodes instead of carrying a constraint row
+            model = model.va_specialize(kw)
         self.cir.add(model, name,
                      tuple(flat_node(n) for n in node_names), **kw)
 

@@ -92,6 +92,16 @@ class DeviceModel:
     # the residual through the params dict under '__dly__'.
     n_delay_sites: int = 0
     delay_probe: Optional[Callable] = None
+    # VA node collapse (reference detect_short_circuits, vasim.jl:2723):
+    # ((internal_name, target), ...) where target is a terminal name,
+    # another internal name (chains resolve transitively), or None for
+    # ground. The elaborator wires the collapsed internal's conn column to
+    # the target's global unknown instead of allocating a fresh one.
+    collapses: tuple = ()
+    # (overrides: dict) -> DeviceModel specialized for that parameter
+    # signature (set on base VA models with collapse candidates; the
+    # frontend calls it per instance)
+    va_specialize: Optional[Callable] = None
 
     @property
     def n_terminals(self):

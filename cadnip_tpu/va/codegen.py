@@ -37,6 +37,7 @@ parameter defaults.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 
@@ -156,10 +157,17 @@ class VACompiler:
     layout, contribution branches, noise sites); the traced interpreter
     only ever produces fixed-shape computations."""
 
-    def __init__(self, mod: VAModule, include_dirs=()):
+    def __init__(self, mod: VAModule, include_dirs=(), collapsed=()):
         self.mod = mod
         self.include_dirs = list(include_dirs)
         self._tables = {}
+        # node-collapse specialization (reference detect_short_circuits,
+        # `src/vasim.jl:2723`): branches in `collapsed` take the
+        # `V(a,b) <+ 0` short-circuit path for this parameter signature —
+        # ALL V-contributions to them are dropped (no branch-current
+        # unknown) and the nodes are merged at elaboration via the
+        # DeviceModel.collapses alias table.
+        self.collapsed = frozenset(collapsed)
         self.ports = [p[0] for p in mod.ports]
         # unknown layout: ports, internal nodes, branch currents, idt states
         self.node_idx = {nm: i for i, nm in enumerate(self.ports)}
@@ -219,6 +227,10 @@ class VACompiler:
         # for PSP-class models this removes the bulk of the traced graph
         # from every Newton tangent pass
         self.setup_stmts, self.runtime_stmts = self._split_setup()
+        # collapse candidates: V-branches that receive a literal `<+ 0`
+        # contribution under (possibly empty) if-guards — decided per
+        # parameter signature by decide_collapses()
+        self.collapse_cands = self._find_collapse_candidates()
         # (numeric defaults double as STRUCTURAL values for loop bounds and
         # laplace coefficients: those must be static under jit; per-instance
         # overrides of structural parameters are not supported yet)
@@ -229,6 +241,11 @@ class VACompiler:
             return (nets[0], None)
         return (nets[0], nets[1])
 
+    def _is_collapsed(self, key):
+        return (key in self.collapsed
+                or (key[1] is not None
+                    and (key[1], key[0]) in self.collapsed))
+
     def _discover(self, stmts):
         for st in stmts:
             k = st[0]
@@ -238,7 +255,8 @@ class VACompiler:
                     key = self.mod.branches[nets[0]]
                 else:
                     key = self._branch_nets(nets)
-                self.vbranches.setdefault(key, None)
+                if not self._is_collapsed(key):
+                    self.vbranches.setdefault(key, None)
             elif k == "block":
                 self._discover(st[1])
             elif k == "if":
@@ -568,6 +586,146 @@ class VACompiler:
         setup, runtime = [], []
         walk(self.mod.analog, setup, runtime)
         return setup, runtime
+
+    # --------------------------------------------------------- node collapse
+    def _find_collapse_candidates(self):
+        """V-branches eligible for node collapse (reference
+        detect_short_circuits, `src/vasim.jl:2723`): branches whose every
+        reachable V-contribution can be `<+ 0` under if-guards. Returns
+        {branch_key: [(((cond_expr, polarity), ...), rhs_is_zero), ...]}."""
+        cands = {}
+        bad = set()
+
+        def rhs_zero(e):
+            return e[0] == "num" and float(e[1]) == 0.0
+
+        def walk(stmts, conds, in_loop):
+            for st in stmts:
+                k = st[0]
+                if k == "contrib" and st[1] == "V":
+                    nets = st[2]
+                    if len(nets) == 1 and nets[0] in self.mod.branches:
+                        key = self.mod.branches[nets[0]]
+                    else:
+                        key = self._branch_nets(nets)
+                    if in_loop:
+                        bad.add(key)
+                    else:
+                        cands.setdefault(key, []).append(
+                            (tuple(conds), rhs_zero(st[3])))
+                elif k == "block":
+                    walk(st[1], conds, in_loop)
+                elif k == "if":
+                    walk([st[2]], conds + [(st[1], True)], in_loop)
+                    if st[3] is not None:
+                        walk([st[3]], conds + [(st[1], False)], in_loop)
+                elif k in ("for", "while"):
+                    walk([st[-1]], conds, True)
+                elif k == "repeat":
+                    walk([st[2]], conds, True)
+                elif k == "case":
+                    for _, s in st[2]:
+                        walk([s], conds, True)
+                elif k == "event":
+                    walk([st[1]], conds, True)
+
+        walk(self.mod.analog, [], False)
+        out = {}
+        internal = set(self.mod.internal_nodes)
+        for key, lst in cands.items():
+            if key in bad:
+                continue
+            if not any(z for _, z in lst):
+                continue
+            pn, nn = key
+            # eligibility: ground collapse needs an internal node; pair
+            # collapse needs at least one internal (ports cannot merge)
+            if nn is None:
+                if pn not in internal:
+                    continue
+            elif pn not in internal and nn not in internal:
+                continue
+            out[key] = lst
+        return out
+
+    def _expr_names(self, e, out):
+        if not isinstance(e, tuple):
+            return
+        if e[0] == "name":
+            out.add(e[1])
+            return
+        if e[0] == "index":
+            out.add(e[1])
+        for sub in e[1:]:
+            if isinstance(sub, tuple):
+                self._expr_names(sub, out)
+            elif isinstance(sub, list):
+                for x in sub:
+                    self._expr_names(x, out)
+
+    def decide_collapses(self, overrides=None):
+        """Host decision for one parameter signature: evaluate the setup
+        pass eagerly with the instance's effective parameters, then each
+        collapse guard; a branch collapses iff every ACTIVE V-contribution
+        to it is the literal 0 (and at least one is). Guards that touch
+        analog state or runtime-assigned variables are undecidable — the
+        branch keeps its explicit constraint row. Collapse-controlling
+        parameters are effectively structural: later `alter`/sweeps do not
+        re-decide (the reference re-detects per build,
+        `src/mna/solve.jl:1793`; here structure is fixed at elaboration)."""
+        if not self.collapse_cands:
+            return ()
+        p = dict(self._ndefaults)
+        if overrides:
+            for k, v in overrides.items():
+                if k in p:
+                    p[k] = float(v)
+        from ..mna.spec import SimSpec
+        dyn = SimSpec().dyn()
+        try:
+            eff = self.effective_params(p, dyn)
+            sv = self.run_setup(p, dyn, eff)
+        except Exception:
+            return ()
+        runtime_written = set()
+        for st in self.runtime_stmts:
+            self._stmt_writes(st, runtime_written)
+        out = []
+        for key, lst in self.collapse_cands.items():
+            decided = True
+            n_active = 0
+            active_all_zero = True
+            for conds, z in lst:
+                active = True
+                for ce, pol in conds:
+                    if self._expr_has_analog(ce):
+                        decided = False
+                        break
+                    nm = set()
+                    self._expr_names(ce, nm)
+                    if nm & runtime_written:
+                        decided = False
+                        break
+                    env = _Env(self, self.n_local)
+                    env.vars = dict(sv)
+                    try:
+                        v = self._eval_expr(ce, env, None, p, dyn, eff, 0.0)
+                        truth = bool(np.asarray(v) != 0)
+                    except Exception:
+                        decided = False
+                        break
+                    if truth != pol:
+                        active = False
+                        break
+                if not decided:
+                    break
+                if active:
+                    n_active += 1
+                    if not z:
+                        active_all_zero = False
+            if decided and n_active > 0 and active_all_zero:
+                out.append(key)
+        return tuple(sorted(out, key=str))
 
     def run_setup(self, p, dyn, eff):
         """Evaluate the (params, dyn)-only prefix once; returns the var
@@ -1108,6 +1266,10 @@ class VACompiler:
             tgt = self.mod.branches[nets[0]]     # named branch
         else:
             tgt = self._branch_nets(nets)
+        if acc == "V" and self._is_collapsed(tgt):
+            # short-circuited branch: the nodes are merged at elaboration,
+            # the constraint row and its current unknown do not exist
+            return
         pi = self.node_idx[tgt[0]]
         ni = self.node_idx[tgt[1]] if tgt[1] else None
         if acc == "I":
@@ -1809,9 +1971,27 @@ def inline_hierarchy(mod: VAModule, lib: dict) -> VAModule:
 # ---------------------------------------------------------------------------
 # public API
 
-def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
-    """VAModule -> DeviceModel (the `make_mna_device` analogue)."""
-    comp = VACompiler(mod, include_dirs=include_dirs)
+def compile_va_module(mod: VAModule, include_dirs=(),
+                      collapsed=()) -> DeviceModel:
+    """VAModule -> DeviceModel (the `make_mna_device` analogue).
+
+    `collapsed`: branch keys taking the `V(a,b) <+ 0` short-circuit path
+    for this parameter signature (reference detect_short_circuits,
+    `src/vasim.jl:2723`). The base model (collapsed=()) carries a
+    `va_specialize` callback when candidates exist; the frontend calls it
+    with each instance's parameter overrides."""
+    comp = VACompiler(mod, include_dirs=include_dirs, collapsed=collapsed)
+    # node-merge alias table for the elaborator: collapsed internal ->
+    # target (terminal / other internal / None=ground)
+    internal_set = set(mod.internal_nodes)
+    collapses = []
+    for (pn, nn) in comp.collapsed:
+        if nn is None:
+            collapses.append((pn, None))
+        elif pn in internal_set:
+            collapses.append((pn, nn))
+        else:
+            collapses.append((nn, pn))
     internals = []
     for nm in mod.internal_nodes:
         internals.append((nm, CLASS_V))
@@ -1848,7 +2028,7 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
                 comp._exec(st, env, u, p, dyn, eff, 0.0)
             return {nm: env.vars.get(nm, 0.0) for nm in op_names}
 
-    return DeviceModel(
+    model = DeviceModel(
         name=f"va:{mod.name}",
         terminals=tuple(comp.ports),
         residual=comp.make_residual(),
@@ -1867,7 +2047,22 @@ def compile_va_module(mod: VAModule, include_dirs=()) -> DeviceModel:
         structural_params=tuple(sorted(comp.structural_params)),
         n_delay_sites=len(comp.delay_sites),
         delay_probe=comp.make_delay_probe(),
+        collapses=tuple(sorted(collapses, key=str)),
     )
+    if not collapsed and comp.collapse_cands:
+        # per-parameter-signature specialization, cached by collapse set
+        cell = {(): model}
+
+        def va_specialize(overrides):
+            keys = comp.decide_collapses(overrides)
+            if keys not in cell:
+                cell[keys] = compile_va_module(mod, include_dirs,
+                                               collapsed=keys)
+            return cell[keys]
+
+        model = dataclasses.replace(model, va_specialize=va_specialize)
+        cell[()] = model
+    return model
 
 
 def compile_va(text: str, include_dirs=()) -> dict:
