@@ -103,8 +103,14 @@ def _get_dc_solver(cc: CompiledCircuit):
 
 
 def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
-       time: float = 0.0, nodeset: dict | None = None) -> DCSolution:
-    """DC operating point with the full robustness chain.
+       time: float = 0.0, nodeset: dict | None = None,
+       rescue: bool = True) -> DCSolution:
+    """DC operating point with the full robustness chain: Newton ->
+    GMIN stepping -> source stepping (one jitted homotopy scan), then —
+    only if that fails — a pseudo-transient continuation rescue tier
+    (reference polyalgorithm `CedarRobustNLSolve`, `src/mna/solve.jl:
+    463-527`; the rescue jits lazily so well-behaved circuits never pay
+    its compile).
 
     nodeset: {node: voltage} initial-guess seeding (SPICE .nodeset)."""
     if params is None:
@@ -117,6 +123,17 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
             x0 = x0.at[cc.index_of(str(node))].set(float(v))
     dyn = cc.spec.dyn(mode=mode, time=time)
     r = _get_dc_solver(cc)(x0, params, dyn)
+    if rescue and not np.asarray(r.converged).all():
+        key = "dc_ptran_rescue"
+        if key not in cc.cache:
+            from ..mna.newton import make_ptran_rescue
+            cc.cache[key] = jax.jit(make_ptran_rescue(cc))
+        r2 = cc.cache[key](x0, params, dyn)
+        take = jnp.asarray(r2.converged)
+        r = type(r)(x=jnp.where(take, r2.x, r.x),
+                    converged=r.converged | r2.converged,
+                    iters=r.iters + r2.iters,
+                    resnorm=jnp.where(take, r2.resnorm, r.resnorm))
     return DCSolution(cc, r.x, r.converged, r.iters, r.resnorm,
                       params=params)
 

@@ -504,6 +504,22 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     if ic:
         for node, v in ic.items():
             x0 = x0.at[..., cc.index_of(str(node))].set(float(v))
+    if uic and _vmap_axes is None:
+        # consistency projection before the adaptive loop: a few tiny
+        # implicit-Euler steps settle the algebraic unknowns while the
+        # differential states stay at their .ic values (reference
+        # CedarUICOp warmup, `src/mna/dcop.jl:311-411`)
+        wkey = ("uic_warmup", method)
+        if wkey not in cc.cache:
+            from ..mna.newton import make_uic_warmup
+            cc.cache[wkey] = jax.jit(make_uic_warmup(cc, method=method))
+        h_w = max((tstop - t0) * 1e-12, dt * 1e-6)
+        x0 = cc.cache[wkey](x0, params,
+                            cc.spec.dyn(mode=MODE_TRAN, time=t0),
+                            jnp.asarray(h_w, DTYPE))
+        if ic:   # warmup must not move the pinned nodes
+            for node, v in ic.items():
+                x0 = x0.at[..., cc.index_of(str(node))].set(float(v))
 
     bp = collect_breakpoints(cc, tstop)
     bp = bp[bp > t0]

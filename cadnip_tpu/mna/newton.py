@@ -178,6 +178,74 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
     return newton_t
 
 
+def make_ptran_rescue(cc: CompiledCircuit, method: str | None = None,
+                      n_steps: int = 15, h0: float = 1e-12,
+                      h1: float = 1e3):
+    """Pseudo-transient continuation rescue (the reference's
+    PseudoTransient tier in CedarRobustNLSolve, `src/mna/solve.jl:463-527`,
+    and the CedarUICOp relaxation idea, `src/mna/dcop.jl:145-151`): march
+    backward-Euler steps with geometrically growing h — the circuit's own
+    charges damp the iteration; as h -> inf the fixed point is the DC
+    solution — then confirm with a plain Newton at the target conditions.
+    Used by `dc()` when the standard homotopy chain fails (oscillators,
+    latches, multivibrators)."""
+    from .assemble import make_rhs_assembler
+    newton_t = make_tran_newton(cc, method=method)
+    newton = make_newton(cc, method=method)
+    assemble, _, _ = _make_assemble_solve(cc, None, method)
+    rhs = make_rhs_assembler(cc)
+    hs = jnp.geomspace(h0, h1, n_steps).astype(DTYPE)
+
+    def rescue(x0, params, dyn: DynSpec) -> NewtonResult:
+        x0 = jnp.asarray(x0, DTYPE)
+        lim0 = assemble.init_lim(pad_state(x0))
+        _, q0 = rhs(pad_state(x0), params, dyn)
+
+        def body(carry, h):
+            x, lim, q = carry
+            r = newton_t(x, lim, params, dyn, 1.0 / h, q / h)
+            ok = r.converged & jnp.all(jnp.isfinite(r.x))
+            return (jnp.where(ok, r.x, x), jnp.where(ok, r.lim, lim),
+                    jnp.where(ok, r.q, q)), None
+
+        (x, lim, _), _ = jax.lax.scan(body, (x0, lim0, q0), hs)
+        return newton(x, params, dyn, lim0=lim)
+
+    return rescue
+
+
+def make_uic_warmup(cc: CompiledCircuit, method: str | None = None,
+                    n_steps: int = 8):
+    """Fixed small-step implicit-Euler warmup from a UIC initial state
+    (reference CedarUICOp, `src/mna/dcop.jl:311-411`): projects the
+    algebraic unknowns onto the constraint manifold while the tiny step
+    freezes every differential state at its .ic value, so the adaptive
+    integrator starts from a consistent point instead of Newton-failing
+    off the raw IC vector."""
+    from .assemble import make_rhs_assembler
+    newton_t = make_tran_newton(cc, method=method)
+    assemble, _, _ = _make_assemble_solve(cc, None, method)
+    rhs = make_rhs_assembler(cc)
+
+    def warmup(x0, params, dyn: DynSpec, h):
+        x0 = jnp.asarray(x0, DTYPE)
+        lim0 = assemble.init_lim(pad_state(x0))
+        _, q0 = rhs(pad_state(x0), params, dyn)
+
+        def body(carry, _):
+            x, lim, q = carry
+            r = newton_t(x, lim, params, dyn, 1.0 / h, q / h)
+            ok = r.converged & jnp.all(jnp.isfinite(r.x))
+            return (jnp.where(ok, r.x, x), jnp.where(ok, r.lim, lim),
+                    jnp.where(ok, r.q, q)), None
+
+        (x, _, _), _ = jax.lax.scan(body, (x0, lim0, q0), None,
+                                    length=n_steps)
+        return x
+
+    return warmup
+
+
 def make_dc_solver(cc: CompiledCircuit, assemble=None,
                    method: str | None = None):
     """Full DC chain: Newton -> gmin(gshunt) stepping -> source stepping
