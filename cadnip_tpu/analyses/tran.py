@@ -31,7 +31,7 @@ import numpy as np
 
 from ..config import DTYPE, solve_method_for_backend
 from ..mna.assemble import make_assembler, make_rhs_assembler, pad_state
-from ..mna.newton import abstol_vector, make_tran_newton
+from ..mna.newton import abstol_vector, damp_step, make_tran_newton
 from ..mna.spec import MODE_TRAN, MODE_TRANOP
 from ..mna.structure import CompiledCircuit
 from .dc import DCSolution, dc
@@ -291,10 +291,7 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             Ft = F + c0 * Q - rhs_q
             dx = solve_J(G, C, c0, -Ft)
             if spec.max_dv > 0:
-                vstep = jnp.max(jnp.where(is_v, jnp.abs(dx), 0.0))
-                dx = dx * jax.lax.stop_gradient(
-                    jnp.minimum(1.0, spec.max_dv /
-                                jnp.maximum(vstep, 1e-300)))
+                dx = damp_step(dx, is_v, spec.max_dv)
             xi_new = s["xi"] + dx
             ok_dx = jnp.all(jnp.abs(dx) <= spec.reltol * jnp.maximum(
                 jnp.abs(xi_new), jnp.abs(s["xi"])) + atol)

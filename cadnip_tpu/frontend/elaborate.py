@@ -888,7 +888,7 @@ _BJT_MAP = {
 _MOS_MAP = {
     "vto": "vth", "vth0": "vth", "kp": "kp", "lambda": "lambda",
     "cgso": "cgs", "cgdo": "cgd", "cgbo": "cgb", "cbd": "cbd",
-    "cbs": "cbs",
+    "cbs": "cbs", "is": "is", "js": "is",
 }
 
 

@@ -25,6 +25,38 @@ from .spec import DynSpec
 from .structure import CompiledCircuit
 
 
+def make_sorted_scatter(idx_arrays, out_size):
+    """Host-precomputed scatter-add plan: concatenate the flattened stamp
+    destinations of every group, argsort ONCE at build time, and at trace
+    time gather values through the permutation and segment-sum into the
+    unique destinations. The final scatter is sorted + unique, which XLA
+    lowers to a fast path on TPU — naive `.at[idx].add` with duplicate
+    unsorted f64 indices is the dominant assembly cost at c6288 scale
+    (the host plan is the analogue of the reference's COO->nzval maps,
+    `src/mna/precompile.jl:253`)."""
+    idx = np.concatenate([np.asarray(a, np.int64).reshape(-1)
+                          for a in idx_arrays])
+    perm = np.argsort(idx, kind="stable")
+    si = idx[perm]
+    uniq, seg_starts = np.unique(si, return_index=True)
+    seg_ids = np.zeros(len(si), np.int64)
+    seg_ids[seg_starts[1:]] = 1
+    seg_ids = np.cumsum(seg_ids)
+    permj = jnp.asarray(perm, jnp.int32)
+    segj = jnp.asarray(seg_ids, jnp.int32)
+    uniqj = jnp.asarray(uniq, jnp.int32)
+    U = int(len(uniq))
+
+    def scatter(out, vals_list):
+        vals = jnp.concatenate([v.reshape(-1) for v in vals_list])
+        sums = jax.ops.segment_sum(vals[permj], segj, num_segments=U,
+                                   indices_are_sorted=True)
+        return out.at[uniqj].add(sums, indices_are_sorted=True,
+                                 unique_indices=True)
+
+    return scatter
+
+
 def _lim_seed(model, conn, x_pad):
     """Initial limiter state for one group, flattened.
 
@@ -131,9 +163,11 @@ def make_assembler(cc: CompiledCircuit):
             size = g.conn.shape[0] * S
             dsl = (dly_off, dly_off + size, (g.conn.shape[0], S))
             dly_off += size
-        consts.append((g.model, conn, jnp.asarray(lin, jnp.int32), sl, dsl))
+        consts.append((g.model, conn, lin, sl, dsl))
     n_lim = lim_off
     n_delay = dly_off
+    fq_scatter = make_sorted_scatter([g.conn for g in cc.groups], np1)
+    gc_scatter = make_sorted_scatter([c[2] for c in consts], np1 * np1)
     # gshunt lands on node-voltage diagonals only (reference build.jl gshunt)
     vnode_idx = jnp.asarray(np.where(cc.classes == CLASS_V)[0], jnp.int32)
 
@@ -148,11 +182,8 @@ def make_assembler(cc: CompiledCircuit):
         return jnp.concatenate(parts)
 
     def assemble(x_pad, lim, params, dyn: DynSpec, dly=None):
-        F = jnp.zeros(np1, DTYPE)
-        Q = jnp.zeros(np1, DTYPE)
-        Gf = jnp.zeros(np1 * np1, DTYPE)
-        Cf = jnp.zeros(np1 * np1, DTYPE)
         lim_new = lim
+        fs, qs, Js, Cs = [], [], [], []
         for (model, conn, lin, sl, dsl), p in zip(consts, params):
             u = x_pad[conn]
             if dsl is not None and dly is not None:
@@ -168,11 +199,14 @@ def make_assembler(cc: CompiledCircuit):
             )(u, u_lim_prev, p, dyn)
             if sl is not None:
                 lim_new = lim_new.at[sl[0]:sl[1]].set(u_eval.reshape(-1))
-            flat = conn.reshape(-1)
-            F = F.at[flat].add(f.reshape(-1))
-            Q = Q.at[flat].add(q.reshape(-1))
-            Gf = Gf.at[lin].add(J.reshape(-1))
-            Cf = Cf.at[lin].add(C.reshape(-1))
+            fs.append(f)
+            qs.append(q)
+            Js.append(J)
+            Cs.append(C)
+        F = fq_scatter(jnp.zeros(np1, DTYPE), fs)
+        Q = fq_scatter(jnp.zeros(np1, DTYPE), qs)
+        Gf = gc_scatter(jnp.zeros(np1 * np1, DTYPE), Js)
+        Cf = gc_scatter(jnp.zeros(np1 * np1, DTYPE), Cs)
         G = Gf.reshape(np1, np1)[:n, :n]
         C = Cf.reshape(np1, np1)[:n, :n]
         F = F[:n]

@@ -26,18 +26,25 @@ from .structure import CompiledCircuit
 
 
 def default_block_size() -> int:
-    """Backend-aware BBD block size: on TPU keep blocks <= GAUSS_MAX_N so
-    their factorization stays on the unrolled Gauss path (XLA's LU expander
-    inside while_loops faults the chip); 128 also matches the MXU tile."""
-    from ..ops.linalg import GAUSS_MAX_N
-    if jax.default_backend() == "cpu":
-        return 256
-    return min(128, GAUSS_MAX_N)
+    """BBD block size. Measured on the c6288 CMOS multiplier (5,156
+    unknowns, logic-netlist topology): small blocks win by a wide margin —
+    batched block cost scales with K*bs^2*nbl while the border stays flat,
+    so bs=32 beats bs=256 by ~20x wall-clock on both backends. On TPU 32
+    also keeps factorizations on the unrolled-Gauss/Pallas path (the XLA
+    LU expander inside while_loops faults the chip)."""
+    return 32
 
 
 def partition_circuit(cc: CompiledCircuit, block_size: int | None = None
                       ) -> BBDPartition:
-    """Partition a compiled circuit's unknown-connectivity graph."""
+    """Partition a compiled circuit's unknown-connectivity graph.
+
+    Re-partitions with forced border promotion for any branch-current
+    (CLASS_I, zero structural diagonal) unknown whose every coupling
+    partner landed in the border — its D row would be all zero and the
+    block singular (the c6288 rails' source branch currents are the
+    canonical case)."""
+    from .devices import CLASS_I as _CI
     if block_size is None:
         block_size = default_block_size()
     edges = []
@@ -49,8 +56,23 @@ def partition_circuit(cc: CompiledCircuit, block_size: int | None = None
             for a in range(len(idx)):
                 for b in range(a + 1, len(idx)):
                     edges.append((idx[a], idx[b]))
-    part = partition_graph(cc.n, edges, block_size=block_size,
-                           device_unknowns=device_unknowns)
+    pre_border: set = set()
+    for _ in range(3):
+        part = partition_graph(cc.n, edges, block_size=block_size,
+                               device_unknowns=device_unknowns,
+                               pre_border=pre_border)
+        partners: dict = {}
+        for idx in device_unknowns:
+            for i in idx:
+                if cc.classes[i] == _CI:
+                    partners.setdefault(i, set()).update(
+                        j for j in idx if j != i)
+        viol = {i for i, ps in partners.items()
+                if part.block_of[i] >= 0
+                and all(part.block_of[j] < 0 for j in ps)}
+        if not viol - pre_border:
+            break
+        pre_border |= viol
     return part
 
 
@@ -121,9 +143,24 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
             sl = (lim_off, lim_off + size, g.conn.shape)
             lim_off += size
         consts.append((g.model, conn,
-                       {t: jnp.asarray(v.reshape(-1), jnp.int32)
-                        for t, v in idx.items()}, sl))
+                       {t: v.reshape(-1) for t, v in idx.items()}, sl))
     n_lim = lim_off
+    from .assemble import make_sorted_scatter
+    fq_scatter = make_sorted_scatter([g.conn for g in cc.groups], n + 1)
+    # Jacobian stamps: per-tensor subset plans (gather only the stamps
+    # destined for tensor t, drop trash-routed ones) scattered in f32 on
+    # TPU — f64 scatter-add is ~7x slower there, and Newton tolerates an
+    # approximate Jacobian as long as the residual F stays exact f64
+    # (inexact-Newton argument; the residual convergence test and LTE all
+    # run off F/Q, which remain f64)
+    gc_dtype = DTYPE if jax.default_backend() == "cpu" else jnp.float32
+    gc_plans = []
+    for t in range(4):
+        idx = np.concatenate([np.asarray(c[2][t], np.int64)
+                              for c in consts])
+        keep = np.where(idx != sizes[t])[0]
+        gc_plans.append((jnp.asarray(keep, jnp.int32),
+                         jnp.asarray(idx[keep], jnp.int32)))
     vnode_idx = np.where(cc.classes == CLASS_V)[0]
     # gshunt diagonal destinations
     gsh = {t: [] for t in range(4)}
@@ -155,11 +192,8 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
             dly_slices.append(None)
 
     def assemble(x_pad, lim, params, dyn: DynSpec, dly=None):
-        F = jnp.zeros(n + 1, DTYPE)
-        Q = jnp.zeros(n + 1, DTYPE)
-        Gt = {t: jnp.zeros(sizes[t] + 1, DTYPE) for t in range(4)}
-        Ct = {t: jnp.zeros(sizes[t] + 1, DTYPE) for t in range(4)}
         lim_new = lim
+        fs, qs, Js, Cs = [], [], [], []
         for (model, conn, idx, sl), p, dsl in zip(consts, params,
                                                   dly_slices):
             u = x_pad[conn]
@@ -175,17 +209,25 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
             )(u, u_lim_prev, p, dyn)
             if sl is not None:
                 lim_new = lim_new.at[sl[0]:sl[1]].set(u_eval.reshape(-1))
-            flat = conn.reshape(-1)
-            F = F.at[flat].add(f.reshape(-1))
-            Q = Q.at[flat].add(q.reshape(-1))
-            Jf = J.reshape(-1)
-            Cf = C.reshape(-1)
-            for t in range(4):
-                Gt[t] = Gt[t].at[idx[t]].add(Jf)
-                Ct[t] = Ct[t].at[idx[t]].add(Cf)
+            fs.append(f)
+            qs.append(q)
+            Js.append(J)
+            Cs.append(C)
+        F = fq_scatter(jnp.zeros(n + 1, DTYPE), fs)
+        Q = fq_scatter(jnp.zeros(n + 1, DTYPE), qs)
+        Jv = jnp.concatenate([v.reshape(-1) for v in Js])
+        Cv = jnp.concatenate([v.reshape(-1) for v in Cs])
+        Gt, Ct = {}, {}
+        for t in range(4):
+            pos, idx = gc_plans[t]
+            Gt[t] = jnp.zeros(sizes[t] + 1, gc_dtype).at[idx].add(
+                Jv[pos].astype(gc_dtype))
+            Ct[t] = jnp.zeros(sizes[t] + 1, gc_dtype).at[idx].add(
+                Cv[pos].astype(gc_dtype))
         F = F[:n].at[vnode_j].add(dyn.gshunt * x_pad[vnode_j])
         for t, flats in gsh.items():
-            Gt[t] = Gt[t].at[flats].add(dyn.gshunt)
+            Gt[t] = Gt[t].at[flats].add(
+                jnp.asarray(dyn.gshunt).astype(gc_dtype))
 
         def shape(tensors):
             return (tensors[0][:-1].reshape(K, bs, bs),

@@ -506,6 +506,12 @@ def _mos1_ids(vgs, vds, p, vth):
     return jnp.where(vov <= 0.0, 0.0, i_on)
 
 
+def _limexp_dev(x):
+    """Overflow-safe exp with linear continuation above x=80."""
+    xc = jnp.minimum(x, 80.0)
+    return jnp.exp(xc) * (1.0 + jnp.maximum(x - 80.0, 0.0))
+
+
 def _mos1_residual(u, p, dyn):
     # u = [vd, vg, vs, vb]; `type` is +1 NMOS / -1 PMOS
     ty = p["type"]
@@ -519,7 +525,18 @@ def _mos1_residual(u, p, dyn):
     ids = _mos1_ids(vgs, vds, p, ty * p["vth"]) \
         * jnp.where(fwd, 1.0, -1.0) * ty
     ids = ids + dyn.gmin * (u[0] - u[2])
-    f = jnp.stack([ids, 0.0 * ids, -ids, 0.0 * ids])
+    # bulk junction diodes (SPICE level-1 drain-bulk / source-bulk,
+    # ngspice MOS1load): the exponential clamp that keeps internal nodes
+    # within a diode drop of the rails — without them nothing in the
+    # square-law model bounds a floating drain and Newton walks off.
+    # limexp (linear continuation above ~2 V) instead of pnjlim state:
+    # bounded Jacobian without limiter bookkeeping.
+    vt = dyn.vt
+    isat = p["is"]
+    ibd = isat * (_limexp_dev((vb - vd) / vt) - 1.0) + dyn.gmin * (vb - vd)
+    ibs = isat * (_limexp_dev((vb - vs) / vt) - 1.0) + dyn.gmin * (vb - vs)
+    f = jnp.stack([ids - ty * ibd, 0.0 * ids, -ids - ty * ibs,
+                   ty * (ibd + ibs)])
     # fixed gate caps (cgs, cgd, cgb) plus junction caps to bulk (cbd,
     # cbs) — the latter keep every drain/source node differential so
     # digital latches never present purely-algebraic bistable nodes
@@ -531,6 +548,39 @@ def _mos1_residual(u, p, dyn):
     q = jnp.stack([-qgd - qbd, qgs + qgd + qgb, -qgs - qbs,
                    -qgb + qbd + qbs])
     return f, q
+
+
+def _mos1_limit(u, u_prev, p, dyn):
+    """SPICE MOS Newton limiting: fetlim on the (oriented) gate overdrive
+    and limvds on the drain-source step (ngspice MOS1load's
+    DEVfetlim/DEVlimvds calls). Without this, a saturated square-law
+    device (gds == 0 at lambda=0) lets Newton launch series-stack internal
+    nodes to huge voltages — the c6288 NOR stacks are the canonical case."""
+    ty = p["type"]
+    vd, vg, vs, vb = ty * u[0], ty * u[1], ty * u[2], ty * u[3]
+    vdp, vgp, vsp = ty * u_prev[0], ty * u_prev[1], ty * u_prev[2]
+    vto = ty * p["vth"]
+    fwd = vd >= vs
+    src = jnp.where(fwd, vs, vd)
+    src_p = jnp.where(fwd, vsp, vdp)
+    vgs_l = fetlim(vg - src, vgp - src_p, vto)
+    vds_l = limvds(jnp.abs(vd - vs), jnp.abs(vdp - vsp))
+    vg2 = src + vgs_l
+    vdrain2 = src + vds_l          # oriented drain terminal
+    vd2 = jnp.where(fwd, vdrain2, vd)
+    vs2 = jnp.where(fwd, vs, vdrain2)
+    # bulk-junction pnjlim (ngspice limits vbs/vbd last, and they win on
+    # conflicts): prevents evaluating the clamp diodes volts into forward
+    # bias, where exp() currents stall Newton at ~vt progress per
+    # iteration
+    vbp = ty * u_prev[3]
+    vt = dyn.vt
+    vcrit = vt * jnp.log(vt / (1.41421356 * p["is"]))
+    vbd_l = pnjlim(vb - vd2, vbp - ty * u_prev[0], vt, vcrit)
+    vbs_l = pnjlim(vb - vs2, vbp - ty * u_prev[2], vt, vcrit)
+    vd3 = vb - vbd_l
+    vs3 = vb - vbs_l
+    return jnp.stack([ty * vd3, ty * vg2, ty * vs3, ty * vb])
 
 
 def _mos1_noise(u, p, dyn):
@@ -566,7 +616,8 @@ MOSFET1 = DeviceModel(
     name="mos1", terminals=("d", "g", "s", "b"), residual=_mos1_residual,
     defaults={"type": 1.0, "vth": 0.7, "kp": 110e-6, "lambda": 0.0,
               "w": 1e-6, "l": 1e-6, "cgs": 0.0, "cgd": 0.0, "cgb": 0.0,
-              "cbd": 0.0, "cbs": 0.0},
+              "cbd": 0.0, "cbs": 0.0, "is": 1e-14},
+    limit=_mos1_limit,
     noise=_mos1_noise, noise_pairs=((0, 2),), opvars=_mos1_opvars)
 
 

@@ -30,6 +30,17 @@ def abstol_vector(cc: CompiledCircuit) -> jnp.ndarray:
     return jnp.asarray(tab[cc.classes], DTYPE)
 
 
+def damp_step(dx, is_v, max_dv):
+    """Uniform Newton step damping: scale the WHOLE step so no voltage
+    moves more than max_dv. Scaling (rather than per-component clipping)
+    preserves the Newton direction — clipping individual components
+    decouples voltages from their consistently-solved branch currents and
+    limit-cycles (measured on the c6288 NOR stacks)."""
+    vstep = jnp.max(jnp.where(is_v, jnp.abs(dx), 0.0))
+    return dx * jax.lax.stop_gradient(
+        jnp.minimum(1.0, max_dv / jnp.maximum(vstep, 1e-300)))
+
+
 class NewtonResult(NamedTuple):
     x: jnp.ndarray
     converged: jnp.ndarray   # bool
@@ -51,7 +62,10 @@ def _make_assemble_solve(cc: CompiledCircuit, assemble, method):
         part = cc.bbd
 
         def solve_J(G, C, c0, rhs):
-            J = tuple(g + c0 * c for g, c in zip(G, C))
+            # match the tensor dtype (f32 on TPU) so the scalar does not
+            # promote the whole Jacobian back to emulated f64
+            c0c = jnp.asarray(c0).astype(G[0].dtype)
+            J = tuple(g + c0c * c for g, c in zip(G, C))
             return bbd_solve(*J, rhs)
 
         def matvec(M, v):
@@ -83,12 +97,7 @@ def make_newton(cc: CompiledCircuit, assemble=None, method: str | None = None):
         F, _, G, C, lim_new = assemble(xp, lim, params, dyn)
         dx = solve_J(G, C, 0.0, -F)
         if spec.max_dv > 0:
-            # uniform damping (not per-component clipping, which distorts
-            # the Newton direction and can limit-cycle): scale the whole
-            # step so no voltage moves more than max_dv
-            vstep = jnp.max(jnp.where(is_v, jnp.abs(dx), 0.0))
-            dx = dx * jax.lax.stop_gradient(
-                jnp.minimum(1.0, spec.max_dv / jnp.maximum(vstep, 1e-300)))
+            dx = damp_step(dx, is_v, spec.max_dv)
         x_new = x + dx
         ok_dx = jnp.abs(dx) <= spec.reltol * jnp.maximum(jnp.abs(x_new),
                                                          jnp.abs(x)) + atol
@@ -153,10 +162,7 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
             Ft = F + c0 * Q - rhs_q
             dx = solve_J(G, C, c0, -Ft)
             if spec.max_dv > 0:
-                vstep = jnp.max(jnp.where(is_v, jnp.abs(dx), 0.0))
-                dx = dx * jax.lax.stop_gradient(
-                    jnp.minimum(1.0, spec.max_dv /
-                                jnp.maximum(vstep, 1e-300)))
+                dx = damp_step(dx, is_v, spec.max_dv)
             x_new = x + dx
             ok = jnp.all(jnp.abs(dx) <= spec.reltol * jnp.maximum(
                 jnp.abs(x_new), jnp.abs(x)) + atol)

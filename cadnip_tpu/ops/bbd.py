@@ -58,13 +58,16 @@ class BBDPartition:
 
 
 def partition_graph(n: int, edges, block_size: int = 256,
-                    device_unknowns=None) -> BBDPartition:
+                    device_unknowns=None, pre_border=()) -> BBDPartition:
     """Greedy BFS partition of the unknown-connectivity graph.
 
     edges: iterable of (i, j) pairs (device co-occurrence).
     device_unknowns: list of per-device unknown index arrays; after BFS
     blocking, unknowns of devices that span multiple blocks are promoted to
     the border until every device touches at most one block.
+    pre_border: unknowns forced to the border up front (the caller's
+    structural-singularity guard: a zero-diagonal branch-current row whose
+    every coupling partner is border would make its D block singular).
     """
     adj = [[] for _ in range(n)]
     for i, j in edges:
@@ -72,30 +75,45 @@ def partition_graph(n: int, edges, block_size: int = 256,
             adj[i].append(j)
             adj[j].append(i)
 
-    # BFS region growing
+    # hub nets (power/ground rails, global clocks) touch a large fraction
+    # of the circuit: any block containing one would couple to everything,
+    # so they go straight to the border and the BFS never crosses them —
+    # without this, seeding a block at vdd drags the whole rail fan-out
+    # into the promotion pass (c6288: border 980 -> ~500, and per-block
+    # border sets shrink by the rail fan-out factor)
+    deg = np.array([len(a) for a in adj])
+    is_border = np.zeros(n, bool)
+    hub_cut = max(4 * block_size, 64)
+    is_border[deg >= hub_cut] = True
+    for i in pre_border:
+        if 0 <= i < n:
+            is_border[i] = True
+
+    # BFS region growing from LOW-degree seeds (periphery first — the
+    # standard region-growing heuristic: high-degree seeds maximize the
+    # frontier and therefore the eventual cut)
     block_of = np.full(n, -1, np.int64)
-    order = np.argsort([-len(a) for a in adj])  # start from high degree
+    order = np.argsort(deg, kind="stable")
     bidx = 0
     from collections import deque
     for seed in order:
-        if block_of[seed] >= 0:
+        if block_of[seed] >= 0 or is_border[seed]:
             continue
         q = deque([seed])
         count = 0
         while q and count < block_size:
             u = q.popleft()
-            if block_of[u] >= 0:
+            if block_of[u] >= 0 or is_border[u]:
                 continue
             block_of[u] = bidx
             count += 1
             for v in adj[u]:
-                if block_of[v] < 0:
+                if block_of[v] < 0 and not is_border[v]:
                     q.append(v)
         bidx += 1
     K = bidx
 
     # promote block-spanning device unknowns to the border
-    is_border = np.zeros(n, bool)
     if device_unknowns is not None:
         for _ in range(40):  # usually converges in a couple of sweeps
             changed = False
@@ -113,6 +131,42 @@ def partition_graph(n: int, edges, block_size: int = 256,
                     if block_of[i] != keep:
                         is_border[i] = True
                         changed = True
+            if not changed:
+                break
+        # demotion sweep: greedy promotion overshoots — a border unknown
+        # whose every device now touches a single block can rejoin it
+        block_of[is_border] = -1
+        touching = [[] for _ in range(n)]
+        for di, idx in enumerate(device_unknowns):
+            for i in idx:
+                if i < n:
+                    touching[i].append(di)
+        bcnt = (np.bincount(block_of[block_of >= 0], minlength=K)
+                if K else np.zeros(0, np.int64))
+        frozen = set(pre_border)
+        for _ in range(4):
+            changed = False
+            for u in range(n):
+                if not is_border[u] or deg[u] >= hub_cut or u in frozen:
+                    continue
+                tgt = set()
+                ok = True
+                for di in touching[u]:
+                    for i in device_unknowns[di]:
+                        if i < n and i != u and block_of[i] >= 0:
+                            tgt.add(block_of[i])
+                    if len(tgt) > 1:
+                        ok = False
+                        break
+                if not ok or not tgt:
+                    continue
+                b = next(iter(tgt))
+                if bcnt[b] >= block_size:
+                    continue
+                is_border[u] = False
+                block_of[u] = b
+                bcnt[b] += 1
+                changed = True
             if not changed:
                 break
     else:
@@ -231,13 +285,37 @@ def make_bbd_solver(part: BBDPartition, method: str | None = None):
     # structural mask, NOT value-based: MNA voltage-source rows have
     # legitimately zero diagonals
     ghost = jnp.asarray((blk_rows == part.n).astype(np.float64))  # [K, bs]
+    # host-precomputed pad-free scatter plans: bmap/blk_rows pad entries
+    # all collide on one slot, and a scatter-add with a 100k-duplicate
+    # index is the slow path on TPU — gather the valid entries instead
+    # and scatter only those
+    bmap_np = np.asarray(part.bmap)
+    valid2 = ((bmap_np[:, :, None] != nb)
+              & (bmap_np[:, None, :] != nb))            # [K, nbl, nbl]
+    fs_pos = jnp.asarray(np.where(valid2.reshape(-1))[0], jnp.int32)
+    rows_np = (bmap_np[:, :, None] * (nb + 1)
+               + bmap_np[:, None, :]).reshape(-1)
+    s_rows = jnp.asarray(rows_np[np.asarray(valid2.reshape(-1))],
+                         jnp.int32)
+    valid1 = (bmap_np != nb).reshape(-1)                # [K*nbl]
+    ff_pos = jnp.asarray(np.where(valid1)[0], jnp.int32)
+    rb_rows = jnp.asarray(bmap_np.reshape(-1)[valid1], jnp.int32)
+    validk = (blk_rows != part.n).reshape(-1)           # [K*bs]
+    xk_pos = jnp.asarray(np.where(validk)[0], jnp.int32)
+    dx_rows = jnp.asarray(blk_rows.reshape(-1)[validk], jnp.int32)
 
     def solve(D, E, F, B, f):
-        fpad = jnp.concatenate([f, jnp.zeros(1, f.dtype)])
+        # run the factorization/Schur math in the matrix dtype (f32 on
+        # TPU: assembly stores the Jacobian tensors in f32 there; the
+        # inexact-Newton outer loop with the exact f64 residual recovers
+        # full accuracy) and cast the correction back at the end
+        dt = D.dtype
+        out_dt = f.dtype
+        fpad = jnp.concatenate([f, jnp.zeros(1, f.dtype)]).astype(dt)
         fk = fpad[blk_rows_j]                       # [K, bs]
         fb = fpad[border_rows_j]                    # [nb+1]
 
-        D = D + ghost[:, :, None] * jnp.eye(bs, dtype=D.dtype)[None]
+        D = D + ghost.astype(dt)[:, :, None] * jnp.eye(bs, dtype=dt)[None]
 
         # batched solves: columns of E and the rhs together
         def blk_solve(A, rhs):
@@ -245,29 +323,31 @@ def make_bbd_solver(part: BBDPartition, method: str | None = None):
             return jax.vmap(lu.solve, in_axes=1, out_axes=1)(rhs)
 
         rhs_all = jnp.concatenate([E, fk[:, :, None]], axis=2)
-        sol_all = jax.vmap(blk_solve)(D, rhs_all)   # [K, bs, nbl+1]
+        # factorize().solve may refine in f64 — pull back to the working
+        # dtype so the Schur einsums stay on the fast (f32) path
+        sol_all = jax.vmap(blk_solve)(D, rhs_all).astype(dt)
         DinvE = sol_all[:, :, :nbl]
         Dinvf = sol_all[:, :, nbl]
 
         # Schur complement S = B - sum_k F_k DinvE_k scattered via bmap
         FS = jnp.einsum("kib,kbj->kij", F, DinvE)   # [K, nbl, nbl]
-        rows = bmap_j[:, :, None] * (nb + 1) + bmap_j[:, None, :]
-        S = B.reshape(-1).at[rows.reshape(-1)].add(
-            -FS.reshape(-1)).reshape(nb + 1, nb + 1)
+        S = B.reshape(-1).at[s_rows].add(
+            -FS.reshape(-1)[fs_pos]).reshape(nb + 1, nb + 1)
         Ff = jnp.einsum("kib,kb->ki", F, Dinvf)     # [K, nbl]
-        rb = fb.at[bmap_j.reshape(-1)].add(-Ff.reshape(-1))
+        rb = fb.at[rb_rows].add(-Ff.reshape(-1)[ff_pos])
         # pad slot: identity row
         S = S.at[nb, :].set(0.0).at[:, nb].set(0.0).at[nb, nb].set(1.0)
         rb = rb.at[nb].set(0.0)
-        xb = factorize(S, method).solve(rb)
+        xb = factorize(S, method).solve(rb).astype(dt)
 
         xb_local = xb[bmap_j]                        # [K, nbl]
         xk = Dinvf - jnp.einsum("kbj,kj->kb", DinvE, xb_local)
 
-        # reassemble global dx
-        dx = jnp.zeros(part.n + 1, f.dtype)
-        dx = dx.at[blk_rows_j.reshape(-1)].add(xk.reshape(-1))
+        # reassemble global dx (pad-free plans; border_rows has exactly
+        # one pad slot, routed to the ghost position n)
+        dx = jnp.zeros(part.n + 1, dt)
+        dx = dx.at[dx_rows].add(xk.reshape(-1)[xk_pos])
         dx = dx.at[border_rows_j].add(xb)
-        return dx[:part.n]
+        return dx[:part.n].astype(out_dt)
 
     return solve

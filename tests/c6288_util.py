@@ -1,0 +1,38 @@
+"""c6288 16x16 CMOS multiplier deck builder (ISCAS-85 netlist from the
+reference benchmark suite, `/root/reference/benchmarks/vacask/c6288/`,
+10,112 FETs) with level-1 MOS stand-ins for the PSP103 wrappers."""
+import os
+
+MULT_INC = ("/root/reference/benchmarks/vacask/c6288/ngspice/"
+            "multiplier.inc")
+
+
+def have_sources() -> bool:
+    return os.path.exists(MULT_INC)
+
+
+def build_deck() -> str:
+    models = """* level-1 stand-in for the PSP103 wrappers
+.global vdd vss
+.option itl1=500
+.subckt nmos d g s b w=1u l=0.2u ld=0.5u ls=0.5u
+  mn d g s b nch w={w} l={l}
+.ends
+.subckt pmos d g s b w=1u l=0.2u ld=0.5u ls=0.5u
+  mp d g s b pch w={w} l={l}
+.ends
+.model nch nmos vto=0.4 kp=200u lambda=0.05 cbd=0.1f cbs=0.1f
+.model pch pmos vto=-0.4 kp=80u lambda=0.05 cbd=0.1f cbs=0.1f
+"""
+    mult = open(MULT_INC).read()
+    drv = ["vdd vdd 0 1.2", "vss vss 0 0",
+           ".subckt v01 out ref\n  vdrv int 0 pulse 0 1.2 0.1n 0.1n\n"
+           "  rdrv int out 1\n.ends"]
+    for i in range(16):
+        drv.append(f"xa{i} a{i} 0 v01")
+        drv.append(f"xb{i} b{i} 0 v01")
+    ports = " ".join([f"a{i}" for i in range(16)]
+                     + [f"b{i}" for i in range(16)]
+                     + [f"p{i}" for i in range(32)])
+    return ("c6288\n" + models + mult + "\n" + "\n".join(drv)
+            + f"\nx1 {ports} c6288\n")

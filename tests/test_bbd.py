@@ -1,5 +1,6 @@
 """Block-bordered-diagonal solver tests: large-circuit path vs dense
 (the KLU-replacement story, SURVEY §2.9/M4)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -83,3 +84,57 @@ def test_bbd_auto_threshold():
     cir.V("v", "a", "0", dc=1.0)
     cir.R("r", "a", "0", 1.0)
     assert cir.compile().bbd is None
+
+
+# ---------------------------------------------------------------------------
+# scale axis: the reference's c6288 proof point (10,112 FETs; VACASK runs it
+# at 212k unknowns with PSP103, `benchmarks/vacask/README.md:87-122`). Here
+# the real ISCAS-85 topology with level-1 stand-ins: 5,156 unknowns through
+# the BBD path — logic-netlist partition stress, exact linear solves, and a
+# reduced-span UIC power-up transient (the benchmark's own `tran 2p 2n uic`
+# methodology).
+
+def test_c6288_scale_partition_and_solve():
+    from c6288_util import build_deck, have_sources
+    if not have_sources():
+        pytest.skip("reference benchmark netlist not available")
+    import cadnip_tpu as ct
+    from cadnip_tpu.mna.assemble import pad_state
+    from cadnip_tpu.mna.bbd_assemble import make_bbd_assembler
+    from cadnip_tpu.ops.bbd import bbd_matvec, make_bbd_solver
+
+    cc = ct.parse_spice(build_deck())
+    assert cc.n >= 5000
+    part = cc.bbd
+    assert part is not None
+    # partition quality on logic topology: bounded border, no singular
+    # branch-current rows (every CLASS_I unknown shares a block with a
+    # coupling partner or sits in the border)
+    assert part.nb < cc.n * 0.25
+    assemble = make_bbd_assembler(cc, part)
+    solve = make_bbd_solver(part, None)
+    params = cc.params0()
+    dyn = cc.spec.dyn(gshunt=1e-2)
+    x = jnp.zeros(cc.n)
+    lim = assemble.init_lim(pad_state(x))
+    F, Q, G, C, lim = assemble(pad_state(x), lim, params, dyn)
+    dx = solve(*G, -F)
+    assert bool(jnp.isfinite(dx).all())
+    r = bbd_matvec(part, G, dx) + F
+    # exact solve: residual at roundoff relative to the rhs
+    assert float(jnp.max(jnp.abs(r))) < 1e-10 * float(jnp.max(jnp.abs(F)))
+
+
+def test_c6288_uic_transient_reduced_span():
+    from c6288_util import build_deck, have_sources
+    if not have_sources():
+        pytest.skip("reference benchmark netlist not available")
+    import cadnip_tpu as ct
+
+    cc = ct.parse_spice(build_deck())
+    sol = ct.tran(cc, (0, 4e-12), dt=2e-12, uic=True, max_steps=100,
+                  n_save=3)
+    assert bool(np.asarray(sol.converged))
+    assert int(np.asarray(sol.stats.naccept)) >= 2
+    xs = np.asarray(sol.xs)
+    assert np.isfinite(xs).all()
