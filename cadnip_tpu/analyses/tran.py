@@ -212,11 +212,17 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             xs = jax.lax.dynamic_update_slice(xs, win, (si, zero))
             return si + jnp.sum(mask, dtype=jnp.int32), xs
 
+        bp_iota = jnp.arange(n_bp, dtype=jnp.int32)
+
         def setup_trial(s):
             """Compute the next trial step's (h_eff, t_new, c0, rhs_q,
             hit_bp, x_pred) from the accepted state in s."""
             t, h, x = s["t"], s["h"], s["x"]
-            bp_t = bp_times[jnp.minimum(s["bp_i"], n_bp - 1)]
+            # masked-sum lookup, NOT bp_times[i]: a dynamic gather inside
+            # the while_loop faults the axon TPU backend (reproducible
+            # whenever n_bp > 1; same pathology class as LU-in-loop)
+            bp_j = jnp.minimum(s["bp_i"], n_bp - 1)
+            bp_t = jnp.sum(jnp.where(bp_iota == bp_j, bp_times, 0.0))
             h_eff = jnp.minimum(jnp.minimum(h, hmax), tstop - t)
             if dmeta is not None:
                 # never step past the shortest transport delay: the
@@ -552,6 +558,14 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     W = int(np.ceil(dtmax / max(dt_min, 1e-300))) + 2
     use_window = (W <= n_save // 4) and jax.default_backend() == "cpu"
     save_window = W if use_window else 0
+    # pad the breakpoint table to a coarse length quantum: odd tiny input
+    # shapes (e.g. f64[2]) have produced device faults on the axon TPU
+    # backend, and padding also coalesces jit cache entries across decks
+    # with similar breakpoint counts (pad entries repeat tstop, which the
+    # bp_i cursor never passes)
+    bp_len = max(8, int(2 ** np.ceil(np.log2(max(len(bp), 1)))))
+    if len(bp) < bp_len:
+        bp = np.concatenate([bp, np.full(bp_len - len(bp), bp[-1])])
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
            trace, save_window, int(delay_hist),
            None if _vmap_axes is None else str(_vmap_axes))

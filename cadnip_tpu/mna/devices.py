@@ -522,8 +522,11 @@ def _mos1_residual(u, p, dyn):
     vds = jnp.abs(vd - vs)
     # SPICE convention: vto is negative for PMOS; in the sign-flipped
     # (primed) frame the effective threshold is ty*vto
+    # sign via arithmetic, not where(b, 1.0, -1.0): a select between two
+    # python-float literals SIGABRTs the Mosaic (Pallas TPU) compiler, and
+    # this residual also runs inside the VMEM integrator kernel
     ids = _mos1_ids(vgs, vds, p, ty * p["vth"]) \
-        * jnp.where(fwd, 1.0, -1.0) * ty
+        * (2.0 * fwd - 1.0) * ty
     ids = ids + dyn.gmin * (u[0] - u[2])
     # bulk junction diodes (SPICE level-1 drain-bulk / source-bulk,
     # ngspice MOS1load): the exponential clamp that keeps internal nodes
