@@ -140,7 +140,7 @@ def _divided_diff3(xc, tc, x0, t0, x1, t1, x2, t2):
 def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                      method: str | None = None, integ: str = "trap",
                      trace: bool = False, save_window: int = 0,
-                     delay_hist: int = 1024):
+                     delay_hist: int = 1024, pause_iters: int = 0):
     """Build run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax,
     hmin, bp_times, save_ts) -> (xs[n_save, n], TranStats). Fully traced.
 
@@ -165,8 +165,8 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
 
     W = save_window
 
-    def run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax, hmin,
-            bp_times, save_ts, diff_mask):
+    def _run_impl(state_in, x0, lim0, q0, qdot0, params, dyn0, t0, tstop,
+                  h0, hmax, hmin, bp_times, save_ts, diff_mask):
         n_bp = bp_times.shape[0]
         # W extra trash rows so windowed writes never clamp at the end
         xs = jnp.zeros((n_save + max(W, 0), n), DTYPE)
@@ -262,29 +262,40 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             return trial
 
         # flattened state: accepted quantities + in-flight trial
-        si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
-        state = dict(
-            t=t0, h=h0, x=x0, lim=lim0, lim_acc=lim0, q=q0, qdot=qdot0,
-            q1=q0,
-            x1=x0, t1=t0 - 1.0, x2=x0, t2=t0 - 2.0,
-            ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
-            naccept=jnp.int32(0), nreject=jnp.int32(0),
-            nnewton=jnp.int32(0), fail=jnp.asarray(False),
-            nsteps=jnp.int32(0), nrej_run=jnp.int32(0),
-            hold=jnp.int32(0))
-        if dmeta is not None:
-            state["hist_t"] = jnp.full(H, t0, DTYPE)
-            state["hist_v"] = jnp.tile(v0_dly[None, :], (H, 1))
-        if trace:
-            # solver observability: per-Newton-iteration log of
-            # (t_new, h_eff, it, conv, enorm, accept) — ring buffer
-            state["trace"] = jnp.zeros((TRACE_LEN, 6), DTYPE)
-            state["ti"] = jnp.int32(0)
-        state.update(setup_trial(state))
+        if state_in is None:
+            si0, xs = save_points(0, xs, t0 - 1.0, x0, t0, x0)
+            state = dict(
+                t=t0, h=h0, x=x0, lim=lim0, lim_acc=lim0, q=q0,
+                qdot=qdot0, q1=q0,
+                x1=x0, t1=t0 - 1.0, x2=x0, t2=t0 - 2.0,
+                ord=jnp.int32(1), bp_i=jnp.int32(0), si=si0, xs=xs,
+                naccept=jnp.int32(0), nreject=jnp.int32(0),
+                nnewton=jnp.int32(0), fail=jnp.asarray(False),
+                nsteps=jnp.int32(0), nrej_run=jnp.int32(0),
+                hold=jnp.int32(0), itc=jnp.int32(0))
+            if dmeta is not None:
+                state["hist_t"] = jnp.full(H, t0, DTYPE)
+                state["hist_v"] = jnp.tile(v0_dly[None, :], (H, 1))
+            if trace:
+                # solver observability: per-Newton-iteration log of
+                # (t_new, h_eff, it, conv, enorm, accept) — ring buffer
+                state["trace"] = jnp.zeros((TRACE_LEN, 6), DTYPE)
+                state["ti"] = jnp.int32(0)
+            state.update(setup_trial(state))
+        else:
+            # resume a paused run (the axon TPU backend faults when one
+            # device program executes for more than ~45 s, so long
+            # transients advance in bounded bursts with full state
+            # continuity)
+            state = dict(state_in)
+            state["itc"] = jnp.zeros_like(state["itc"])
 
         def cond(s):
-            return ((s["t"] < tstop * (1.0 - 1e-12)) & (~s["fail"])
-                    & (s["nsteps"] < max_steps) & (s["si"] < n_save))
+            c = ((s["t"] < tstop * (1.0 - 1e-12)) & (~s["fail"])
+                 & (s["nsteps"] < max_steps) & (s["si"] < n_save))
+            if pause_iters:
+                c = c & (s["itc"] < pause_iters)
+            return c
 
         def body(s):
             # ---- exactly ONE Newton iteration on the in-flight trial
@@ -397,7 +408,8 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                                          jnp.maximum(s["hold"] - 1, 0),
                                          s["hold"])),
                 fail=s["fail"] | fail_now | (s["nrej_run"] > 100),
-                nsteps=s["nsteps"] + newton_done.astype(jnp.int32))
+                nsteps=s["nsteps"] + newton_done.astype(jnp.int32),
+                itc=s["itc"] + 1)
             if dmeta is not None:
                 # record the accepted point's delayed-expression values
                 # into the (chronologically ordered, shift-left) ring
@@ -450,9 +462,22 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                           fail=out["fail"] | ran_out)
         xs_out = out["xs"][:n_save]
         if trace:
-            return xs_out, stats, (out["trace"], out["ti"])
-        return xs_out, stats
+            return xs_out, stats, (out["trace"], out["ti"]), out
+        return xs_out, stats, out
 
+    def run(x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0, hmax, hmin,
+            bp_times, save_ts, diff_mask):
+        return _run_impl(None, x0, lim0, q0, qdot0, params, dyn0, t0,
+                         tstop, h0, hmax, hmin, bp_times, save_ts,
+                         diff_mask)
+
+    def resume(state, x0, lim0, q0, qdot0, params, dyn0, t0, tstop, h0,
+               hmax, hmin, bp_times, save_ts, diff_mask):
+        return _run_impl(state, x0, lim0, q0, qdot0, params, dyn0, t0,
+                         tstop, h0, hmax, hmin, bp_times, save_ts,
+                         diff_mask)
+
+    run.resume = resume
     return run
 
 
@@ -566,14 +591,20 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     bp_len = max(8, int(2 ** np.ceil(np.log2(max(len(bp), 1)))))
     if len(bp) < bp_len:
         bp = np.concatenate([bp, np.full(bp_len - len(bp), bp[-1])])
+    # bounded device bursts on the axon TPU backend: one XLA execution
+    # running longer than ~45 s faults the device, so the runner pauses
+    # every pause_iters Newton iterations and the host re-enters with
+    # full state continuity (no accuracy or step-control impact)
+    pause_iters = 1200 if jax.default_backend() == "tpu" else 0
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
-           trace, save_window, int(delay_hist),
+           trace, save_window, int(delay_hist), pause_iters,
            None if _vmap_axes is None else str(_vmap_axes))
     if key not in cc.cache:
         runner = make_tran_runner(cc, n_save, max_steps, method=method,
                                   integ=integ, trace=trace,
                                   save_window=save_window,
-                                  delay_hist=delay_hist)
+                                  delay_hist=delay_hist,
+                                  pause_iters=pause_iters)
         rhs = make_rhs_assembler(cc)
         if cc.bbd is not None:
             from ..mna.bbd_assemble import make_bbd_assembler
@@ -601,10 +632,27 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
             return runner(x0, lim0, q0, qdot0, params, dyn0, t0_, tstop_,
                           h0, hmax, hmin, bp_times, save_ts, diff_mask)
 
+        def full_resume(state, x0, params, dyn0, t0_, tstop_, h0, hmax,
+                        hmin, bp_times, save_ts):
+            xp = pad_state(x0)
+            lim0 = assemble.init_lim(xp)
+            dyn_op = dyn0._replace(time=t0_,
+                                   mode=jnp.asarray(MODE_TRANOP, jnp.int32))
+            f0, q0 = rhs(xp, params, dyn_op)
+            _, _, _, C0, _ = assemble(xp, lim0, params, dyn_op)
+            diff_mask = row_mask(C0)
+            return runner.resume(state, x0, lim0, q0, -f0, params, dyn0,
+                                 t0_, tstop_, h0, hmax, hmin, bp_times,
+                                 save_ts, diff_mask)
+
         if _vmap_axes is not None:
             full = jax.vmap(full, in_axes=(0, _vmap_axes, None, None, None,
                                            None, None, None, None, None))
-        cc.cache[key] = jax.jit(full)
+            full_resume = jax.vmap(full_resume,
+                                   in_axes=(0, 0, _vmap_axes, None, None,
+                                            None, None, None, None, None,
+                                            None))
+        cc.cache[key] = (jax.jit(full), jax.jit(full_resume))
 
     dyn0 = cc.spec.dyn(mode=MODE_TRAN, time=t0)
     # hmin floor: below ~1e-5*dt the trapezoidal system G + (2/h)C becomes
@@ -612,14 +660,27 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     # h that small carries no information anyway (SPICE delmin in spirit)
     hmin = max((tstop - t0) * 1e-12, dt * 1e-5, 1e-18)
     h0 = min(dt / 10.0, dtmax)
-    out = cc.cache[key](
-        x0, params, dyn0, jnp.asarray(t0, DTYPE), jnp.asarray(tstop, DTYPE),
-        jnp.asarray(h0, DTYPE), jnp.asarray(dtmax, DTYPE),
-        jnp.asarray(hmin, DTYPE), jnp.asarray(bp, DTYPE), save_ts)
+    run_jit, resume_jit = cc.cache[key]
+    args = (params, dyn0, jnp.asarray(t0, DTYPE), jnp.asarray(tstop, DTYPE),
+            jnp.asarray(h0, DTYPE), jnp.asarray(dtmax, DTYPE),
+            jnp.asarray(hmin, DTYPE), jnp.asarray(bp, DTYPE), save_ts)
+    out = run_jit(x0, *args)
+    st = out[-1]
+    if pause_iters:
+        while True:
+            t_now = np.asarray(st["t"])
+            done = ((t_now >= tstop * (1 - 1e-12))
+                    | np.asarray(st["fail"])
+                    | (np.asarray(st["nsteps"]) >= max_steps)
+                    | (np.asarray(st["si"]) >= n_save))
+            if np.all(done):
+                break
+            out = resume_jit(st, x0, *args)
+            st = out[-1]
     if trace:
-        xs, stats, tr = out
+        xs, stats, tr = out[0], out[1], out[2]
     else:
-        xs, stats = out
+        xs, stats = out[0], out[1]
         tr = None
     sol = TranSolution(cc, np.asarray(save_ts), xs, stats,
                        op_converged=op_conv)

@@ -60,6 +60,18 @@ class Scope:
     models: dict = dataclasses.field(default_factory=dict)
     subckts: dict = dataclasses.field(default_factory=dict)
     va_modules: dict = dataclasses.field(default_factory=dict)
+    # binned model sets: base name -> [ModelCard 'base.1', 'base.2', ...]
+    # (reference BinnedModel/find_bin, `src/spectre.jl:390-471`)
+    binned: dict = dataclasses.field(default_factory=dict)
+
+    def lookup_binned(self, name):
+        s = self
+        name = name.lower()
+        while s is not None:
+            if name in s.binned:
+                return s.binned[name]
+            s = s.parent
+        return None
 
     def lookup_va(self, name):
         s = self
@@ -152,6 +164,8 @@ class Elaborator:
             "temper": lambda: self.temp if self.temp is not None else 27.0,
         }
         self.analyses: list[Analysis] = []
+        self.meas_cards: list[str] = []
+        self.data_tables: dict = {}
         self.options: dict = {}
         self.temp: Optional[float] = None
         self.globals: set = set()
@@ -255,6 +269,29 @@ class Elaborator:
         elif kind in ("op", "dc", "ac", "tran", "noise"):
             self.analyses.append(Analysis(kind, {"fields": card.fields,
                                                  "kwargs": card.kwargs}))
+        elif kind == "data":
+            # .data table: name, column names, then row-major values
+            # (ngspice data-driven sweeps; columns are alterable
+            # instance.param keys, consumed by '.dc data=name')
+            from .expressions import parse_number as _pn
+            words_ = [f[1] for f in card.fields if f[0] == "word"]
+            cols = []
+            i = 1
+            while i < len(words_) and _pn(words_[i]) is None:
+                cols.append(words_[i].lower())
+                i += 1
+            vals = [_pn(w) for w in words_[i:]]
+            if cols and vals and len(vals) % len(cols) == 0:
+                arr = np.asarray(vals, float).reshape(-1, len(cols))
+                self.data_tables[words_[0].lower()] = {
+                    c: arr[:, j] for j, c in enumerate(cols)}
+            else:
+                self._warn_once(("data", words_[0] if words_ else "?"),
+                                f".data {card.line!r}: malformed table")
+        elif kind in ("meas", "measure"):
+            # evaluated post-analysis in simulate() (ngspice .meas
+            # semantics, analyses/measure.py)
+            self.meas_cards.append(card.line)
         elif kind in ("title",):
             pass
         else:
@@ -305,6 +342,26 @@ class Elaborator:
             finally:
                 self.include_dirs, self.section = olddirs, oldsec
 
+    def _find_bin(self, scope: Scope, mname: str, l: float, w: float):
+        """L/W bin selection over 'base.N' model cards (reference
+        `find_bin`, `src/spectre.jl:456-467`): the instance's scaled
+        geometry must satisfy lmin <= l < lmax and wmin <= w < wmax."""
+        bins = scope.lookup_binned(mname)
+        if bins is None:
+            return None
+        scale = float(self.options.get("scale", 1.0))
+        ls, wsc = l * scale, w * scale
+        inf = float("inf")
+        for mc in bins:
+            if (mc.params.get("lmin", -inf) <= ls
+                    < mc.params.get("lmax", inf)
+                    and mc.params.get("wmin", -inf) <= wsc
+                    < mc.params.get("wmax", inf)):
+                return mc
+        raise ElabError(
+            f"no bin of model {mname!r} covers (l={l:g}, w={w:g}); "
+            f"{len(bins)} bins checked")
+
     def _model_card(self, card: DotCard, scope: Scope):
         fields = card.fields
         if len(fields) < 2:
@@ -325,7 +382,15 @@ class Elaborator:
             except (ExprError, ElabError):
                 self._warn_once(("mp", name, k),
                                 f".model {name}: cannot evaluate {k}")
-        scope.models[name] = ModelCard(name, mtype, params)
+        mc = ModelCard(name, mtype, params)
+        scope.models[name] = mc
+        # binned model card 'base.N': collect under the base name so an
+        # instance referencing 'base' picks its L/W bin (reference
+        # BinnedModel/find_bin, `src/spectre.jl:390-471`)
+        if "." in name:
+            base, idx = name.rsplit(".", 1)
+            if idx.isdigit():
+                scope.binned.setdefault(base, []).append(mc)
 
     # --------------------------------------------- pass 2: param evaluation
     def eval_params(self, scope: Scope):
@@ -536,7 +601,13 @@ class Elaborator:
         elif L == "M":
             ws = words(5)
             d, g, s, b, mname = ws[0], ws[1], ws[2], ws[3], ws[4]
+            wv = (self.value_of(kw["w"], scope) if "w" in kw
+                  else self.options.get("defw", 100e-6))
+            lv = (self.value_of(kw["l"], scope) if "l" in kw
+                  else self.options.get("defl", 100e-6))
             mc = scope.lookup_model(mname)
+            if mc is None:
+                mc = self._find_bin(scope, mname, float(lv), float(wv))
             if mc is None:
                 raise ElabError(f"{name}: unknown MOS model {mname!r}")
             va = scope.lookup_va(mc.mtype) or self._tier1_va(mc)
@@ -544,17 +615,15 @@ class Elaborator:
                 extra = {k: self.value_of(v, scope) for k, v in kw.items()}
                 if mc.mtype == "pmos":
                     extra.setdefault("type", -1.0)
-                extra.setdefault("w", self.options.get("defw", 100e-6))
-                extra.setdefault("l", self.options.get("defl", 100e-6))
+                extra.setdefault("w", wv)
+                extra.setdefault("l", lv)
                 self._va_inst(name, va, ws[:4], flat_node,
                               dict(mc.params, **extra))
                 return
             p = _map_model_params(mc, _MOS_MAP, self._warn_once)
             p["type"] = -1.0 if mc.mtype == "pmos" else 1.0
-            p["w"] = (self.value_of(kw["w"], scope) if "w" in kw
-                      else self.options.get("defw", 100e-6))
-            p["l"] = (self.value_of(kw["l"], scope) if "l" in kw
-                      else self.options.get("defl", 100e-6))
+            p["w"] = wv
+            p["l"] = lv
             self.cir.add(dv.MOSFET1, name,
                          (flat_node(d), flat_node(g), flat_node(s),
                           flat_node(b)), **p)
@@ -895,6 +964,8 @@ _MOS_MAP = {
 def _map_model_params(mc: ModelCard, table: dict, warn_once):
     out = {}
     for k, v in mc.params.items():
+        if k in ("lmin", "lmax", "wmin", "wmax"):
+            continue    # bin-selection bounds, consumed by _find_bin
         if k == "level":
             if v not in (1, 1.0):
                 warn_once(("level", mc.name),
@@ -1190,11 +1261,20 @@ def simulate(source, *, include_dirs=(), section=None,
                 freqs = np.geomspace(fstart, fstop, npts)
             sol = ac_run(cc, freqs)
         elif an.kind == "dc":
-            # .dc srcname start stop step
-            src = words[0]
-            start, stop, step = vals[0], vals[1], vals[2]
-            pts = np.arange(start, stop + step * 0.5, step)
-            sol = dcsweep(cc, {f"{src}.dc": pts})
+            kwargs = an.args.get("kwargs", {})
+            if "data" in kwargs:
+                # .dc data=tab: data-driven sweep over the table columns
+                tab = el.data_tables.get(str(kwargs["data"][1]).lower())
+                if tab is None:
+                    raise ElabError(f".dc data: unknown table "
+                                    f"{kwargs['data'][1]!r}")
+                sol = dcsweep(cc, dict(tab))
+            else:
+                # .dc srcname start stop step
+                src = words[0]
+                start, stop, step = vals[0], vals[1], vals[2]
+                pts = np.arange(start, stop + step * 0.5, step)
+                sol = dcsweep(cc, {f"{src}.dc": pts})
         elif an.kind == "noise":
             # .noise v(out[,ref]) src dec npts fstart fstop
             out = None
@@ -1212,6 +1292,22 @@ def simulate(source, *, include_dirs=(), section=None,
             continue
         results[an.kind] = sol
         results["all"].append((an.kind, sol))
+    if el.meas_cards:
+        from ..analyses.measure import MeasError, eval_meas
+        meas = {}
+        for line in el.meas_cards:
+            m = re.match(r"^\.\s*meas(?:ure)?\s+(\w+)", line.strip(),
+                         re.I)
+            sol = results.get(m.group(1).lower()) if m else None
+            if sol is None:
+                continue
+            try:
+                nm, val = eval_meas(line, sol, meas)
+                meas[nm] = val
+            except MeasError as e:
+                import warnings
+                warnings.warn(f".meas failed: {e}")
+        results["meas"] = meas
     return results
 
 

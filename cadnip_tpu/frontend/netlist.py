@@ -6,8 +6,8 @@ Covers the grammar scope of the reference's SPICE dialect front end
 magnitudes, elements R C L V I E G F H D M Q X B K, dot cards .param .model
 .subckt/.ends .include .lib/.endl .option(s) .temp .global .if/.elseif/
 .else/.endif .ic .nodeset .end, analysis cards (.op .dc .ac .tran .noise)
-stored for `simulate()`, output cards (.print/.plot/.probe/.save/.meas/.width)
-ignored — matching the reference's sema behavior (`sema.jl:536-545`).
+stored for `simulate()`, output cards (.print/.plot/.probe/.save/.width)
+ignored; .meas cards are kept and evaluated post-analysis — matching the reference's sema behavior (`sema.jl:536-545`).
 
 The parser is line-oriented (SPICE is a line language) and error-tolerant in
 the same spirit as the reference's lossless CST: every card remembers its
@@ -193,9 +193,9 @@ def split_fields(s: str, line_no: int):
 
 _ANALYSIS = {"op", "dc", "ac", "tran", "noise", "pz", "tf", "sens", "disto",
              "four"}
-_IGNORED = {"print", "plot", "probe", "save", "meas", "measure", "width",
+_IGNORED = {"print", "plot", "probe", "save", "width",
             "backanno", "options_ignored", "control", "endc", "ends_ignored",
-            "data", "enddata"}
+            "enddata"}
 
 
 def parse_netlist(text: str, *, title_line: bool | None = None) -> Netlist:

@@ -234,3 +234,79 @@ r1 in 0 1k $ another
     sol = dc(cc)
     assert bool(sol.converged)
     assert float(sol["in"]) == pytest.approx(1.0)
+
+
+def test_model_binning_selects_by_geometry():
+    # binned model cards 'nch.N' (reference BinnedModel/find_bin,
+    # src/spectre.jl:390-471): the instance referencing 'nch' gets the bin
+    # whose lmin <= l < lmax and wmin <= w < wmax
+    deck = """binned
+vd d 0 dc 1.8
+vg g 0 dc 1.8
+m1 d g 0 0 nch w=2u l=0.5u
+m2 d g 0 0 nch w=2u l=2u
+.model nch.1 nmos lmin=0.1u lmax=1u wmin=0.1u wmax=10u vto=0.4 kp=200u
+.model nch.2 nmos lmin=1u lmax=100u wmin=0.1u wmax=10u vto=0.7 kp=100u
+"""
+    cc = parse_spice(deck)
+    sol = dc(cc)
+    assert bool(sol.converged)
+    # m1 -> bin 1 (vto 0.4), m2 -> bin 2 (vto 0.7): different saturation
+    # currents through the shared supply
+    i1 = sol.op_info("m1")
+    i2 = sol.op_info("m2")
+    assert i1["vth"] == pytest.approx(0.4)
+    assert i2["vth"] == pytest.approx(0.7)
+    assert i1["ids"] > i2["ids"] > 0
+
+
+def test_model_binning_no_bin_errors():
+    deck = """binned miss
+vd d 0 dc 1.8
+m1 d d 0 0 nch w=2u l=50u
+.model nch.1 nmos lmin=0.1u lmax=1u vto=0.4
+"""
+    with pytest.raises(ValueError, match="no bin"):
+        parse_spice(deck)
+
+
+def test_meas_cards():
+    # ngspice-style .meas post-processing over the tran result
+    from cadnip_tpu.frontend.elaborate import simulate
+    res = simulate("""meas test
+vs in 0 dc 0 pulse 0 1 1u 1n 1n 4u 10u
+r1 in out 1k
+c1 out 0 1n
+.tran 0.05u 8u
+.meas tran vmax max v(out) from=0 to=8u
+.meas tran vend find v(out) at=4u
+.meas tran tcross when v(out)=0.5 rise=1
+.meas tran tdel trig v(in) val=0.5 rise=1 targ v(out) val=0.5 rise=1
+.meas tran vsq param = vmax*vmax
+""")
+    m = res["meas"]
+    # RC tau = 1u: by 4u fully charged
+    assert m["vmax"] == pytest.approx(1.0, abs=2e-2)
+    assert m["vend"] == pytest.approx(1.0 - np.exp(-3), abs=2e-2)
+    # 50% crossing at td + tau*ln2
+    assert m["tcross"] == pytest.approx(1e-6 + 0.693e-6, rel=0.05)
+    assert m["tdel"] == pytest.approx(0.693e-6, rel=0.05)
+    assert m["vsq"] == pytest.approx(m["vmax"] ** 2)
+
+
+def test_data_driven_dc_sweep():
+    from cadnip_tpu.frontend.elaborate import simulate
+    res = simulate("""data sweep
+v1 in 0 dc 1
+r1 in out 1k
+r2 out 0 1k
+.data tab r1.r v1.dc
++ 1k 1
++ 3k 2
++ 1k 4
+.enddata
+.dc data=tab
+""")
+    sol = res["dc"]
+    v = np.asarray(sol["out"])
+    assert v == pytest.approx([0.5, 0.5, 2.0])
