@@ -380,8 +380,10 @@ class Elaborator:
             try:
                 params[k] = self.value_of(v, scope)
             except (ExprError, ElabError):
-                self._warn_once(("mp", name, k),
-                                f".model {name}: cannot evaluate {k}")
+                # parameters referencing .param names resolve after the
+                # scope's parameter pass (reference: model cards are
+                # emitted post-sema with the full param environment)
+                params[k] = ("defer", v)
         mc = ModelCard(name, mtype, params)
         scope.models[name] = mc
         # binned model card 'base.N': collect under the base name so an
@@ -420,6 +422,17 @@ class Elaborator:
         for k in order:
             scope.param_vals[k] = eval_expr(exprs[k], env,
                                             funcs=self.expr_funcs)
+        # resolve model-card parameters deferred on unevaluated .params
+        for mc in scope.models.values():
+            for k, v in list(mc.params.items()):
+                if isinstance(v, tuple) and v and v[0] == "defer":
+                    try:
+                        mc.params[k] = self.value_of(v[1], scope)
+                    except (ExprError, ElabError):
+                        self._warn_once(("mp", mc.name, k),
+                                        f".model {mc.name}: cannot "
+                                        f"evaluate {k}")
+                        del mc.params[k]
 
     # --------------------------------------------- pass 3: instantiation
     def build(self, elements, scope: Scope, prefix: str, node_map: dict):
