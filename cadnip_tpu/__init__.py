@@ -25,6 +25,8 @@ from .analyses.sweeps import (  # noqa: E402
 from .analyses.sensitivity import dc_sensitivity  # noqa: E402
 from .frontend.elaborate import (  # noqa: E402
     parse_spice, simulate, circuit_from_file, register_pdk)
+from .frontend.introspect import (  # noqa: E402
+    find, op_table, query, summary)
 
 __all__ = [
     "Circuit", "CompiledCircuit", "SimSpec", "DeviceModel", "devices",
@@ -36,6 +38,7 @@ __all__ = [
     "Sweep", "ProductSweep", "TandemSweep", "SerialSweep",
     "dcsweep", "transweep", "montecarlo_table", "dc_sensitivity",
     "parse_spice", "simulate", "circuit_from_file", "register_pdk",
+    "find", "op_table", "query", "summary",
 ]
 
 __version__ = "0.1.0"

@@ -310,3 +310,27 @@ r2 out 0 1k
     sol = res["dc"]
     v = np.asarray(sol["out"])
     assert v == pytest.approx([0.5, 0.5, 2.0])
+
+
+def test_introspection_query_and_summary():
+    # reference query.jl SpRef + circsummary surface
+    import cadnip_tpu as ct
+    cc = parse_spice("""q
+v1 in 0 dc 5
+r1 in out 1k
+rload out 0 1k
+""")
+    s = ct.summary(cc)
+    assert "3 devices" in s and "unknowns" in s
+    refs = ct.query(cc, "r*")
+    assert {r.name for r in refs if r.kind == "instance"} == {"r1", "rload"}
+    sol = dc(cc)
+    ref = ct.find(cc, "out")
+    assert float(ref(sol)) == pytest.approx(2.5)
+    r = ct.find(cc, "rload")
+    info = r(sol)
+    assert info["currents"]["p"] == pytest.approx(2.5e-3, rel=1e-9)
+    with pytest.raises(KeyError, match="no node"):
+        ct.find(cc, "nonexistent")
+    tbl = ct.op_table(sol)
+    assert "V(out)" in tbl
