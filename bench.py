@@ -1,22 +1,29 @@
-"""Benchmark harness (driver runs this on real TPU hardware).
+"""Benchmark harness (the driver runs this on real TPU hardware).
 
-Headline metric: the VACASK 'rc' benchmark — an RC circuit driven by a pulse
-train, transient over 1 s with 1 us max step (~1,000,001 timepoints), the
-exact circuit/stepping of `/root/reference/benchmarks/vacask/rc`
-(baselines, AMD TR 7970 1-thread: VACASK 0.94 s, Ngspice 1.31 s, Xyce 9.39 s).
+Headline metric: the VACASK 'rc' benchmark — an RC circuit driven by a
+pulse train, transient over 1 s with 1 us max step (~1,000,001
+timepoints), the exact circuit/stepping of
+`/root/reference/benchmarks/vacask/rc` (baselines, AMD TR 7970
+1-thread: VACASK 0.94 s, Ngspice 1.31 s, Xyce 9.39 s).
 
-On TPU the circuit is linear, so the fixed-step trapezoidal recurrence is
-evaluated by blocked prefix products (`analyses/tran_linear.py`) — the whole
-1M-step integration is a few thousand batched einsum steps.
+Secondary metrics (stderr, each with its VACASK baseline):
+  * graetz — 4-diode rectifier, nonlinear, `tran 1u 1` (VACASK 1.89 s),
+    via the VMEM Pallas integrator kernel when available
+  * mul — diode voltage multiplier, `tran 0.01u 5m` (VACASK 0.97 s)
+  * dff — gf180-style level-1 DFF transient + Newton solves/s
+  * dff 1024-way Monte-Carlo sweep — ms/circuit throughput
+  * c6288 — 16x16 CMOS multiplier (10,112 FETs, 5,156 unknowns,
+    level-1 stand-ins), the reference's own `tran 2p 2n uic`
+    methodology through the BBD path; reports ms/NR-iteration
+    (VACASK: 57.98 s total, 15.6 ms/NR at 212k unknowns with PSP103)
+Golden-accuracy checks: RC vs the closed-form pulse response
+(RMSE <= 1e-6), graetz ripple physics band, DFF latch logic.
 
-Methodology: 1 untimed warmup (includes jit compile; compile time excluded as
-is standard for JIT systems — reported separately on stderr), then 5 timed
-runs, mean. Secondary metrics (stderr): DFF transient wall-clock + Newton
-solves/sec, 4096-way vmapped DFF-family Monte-Carlo throughput.
-
-Prints ONE JSON line:
+Methodology: 1 untimed warmup (includes jit compile; compile time
+excluded as is standard for JIT systems — reported separately), then
+timed runs, mean. Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-vs_baseline = VACASK_seconds / our_seconds  (>1 means faster than the best
+vs_baseline = VACASK_seconds / our_seconds (>1 = faster than the best
 baseline simulator).
 """
 import json
@@ -36,7 +43,41 @@ c1 2 0 1u
 .end
 """
 
-VACASK_RC_SECONDS = 0.94
+GRAETZ = """Full-wave rectifier with smoothing and load
+.model d1n4007 d is=76.9p rs=42.0m bv=1.00k ibv=5.00u cjo=26.5p  m=0.333 n=1.45
+vs inp inn 0 sin 0.0 20 50.0
+d1 inp outp d1n4007
+d2 outn inp d1n4007
+d3 inn outp d1n4007
+d4 outn inn d1n4007
+cl outp outn 100u
+rl outp outn 1k
+rgnd1 inn 0 1meg
+rgnd2 outn 0 1meg
+.end
+"""
+
+MUL = """Diode cascade
+.model D1N4007 D IS=76.9p RS=42.0m BV=1.00k IBV=5.00u CJO=26.5p  M=0.333 N=1.45
+.param c=100n
+vs a 0 dc=0 sin 0 50 100k
+r1 a 1 r=0.01
+c1 1 2 c={c}
+d1 0 1 d1n4007
+c2 0 10 c={c}
+d2 1 10 d1n4007
+c3 1 2  c={c}
+d3 10 2 d1n4007
+c4 10 20 c={c}
+d4 2 20 d1n4007
+.end
+"""
+
+VACASK_RC = 0.94
+VACASK_GRAETZ = 1.89
+VACASK_MUL = 0.97
+VACASK_C6288 = 57.98
+VACASK_C6288_MS_NR = 15.6
 
 
 def log(*a):
@@ -57,11 +98,21 @@ def bench_rc():
     log(f"rc warmup (incl. compile): {time.perf_counter() - t0:.2f}s, "
         f"{sol.xs.shape[0]} timepoints")
 
-    # sanity: value vs analytic steady behavior (pulse 1ms on / 1ms off)
+    # golden accuracy: closed-form first-pulse response
+    # (tau = 1 ms; pulse rises 1us..2us, falls 1.001s... -> on [2u, 1m]
+    # v = 1 - (1 - v2u) * exp(-(t - 2u)/tau))
     v2 = np.asarray(sol["2"])
-    assert v2.shape[0] == 1_000_001
-    assert np.isfinite(v2).all()
-    assert abs(float(v2[1000]) - (1 - np.exp(-1))) < 5e-3
+    ts = np.arange(len(v2)) * dt
+    seg = (ts >= 5e-6) & (ts <= 9e-4)
+    tau = 1e-3
+    # exact response to the trapezoidal edge (1us linear ramp)
+    tr = 1e-6
+    v_ramp_end = 1.0 - tau / tr * (1 - np.exp(-tr / tau))  # at t=2us
+    v_exact = 1.0 + (v_ramp_end - 1.0) * np.exp(-(ts[seg] - 2e-6) / tau)
+    rmse = float(np.sqrt(np.mean((v2[seg] - v_exact) ** 2)))
+    log(f"rc golden RMSE vs closed form: {rmse:.3e} (gate 1e-6)")
+    assert rmse < 1e-6, rmse
+    assert np.isfinite(v2).all() and v2.shape[0] == 1_000_001
 
     times = []
     for _ in range(5):
@@ -70,8 +121,80 @@ def bench_rc():
         sol.xs.block_until_ready()
         times.append(time.perf_counter() - t0)
     wall = float(np.mean(times))
-    log(f"rc timed runs: {['%.3f' % t for t in times]} -> mean {wall:.3f}s")
+    log(f"rc timed runs: {['%.3f' % t for t in times]} -> mean {wall:.3f}s "
+        f"(VACASK {VACASK_RC}s, x{VACASK_RC / wall:.2f})")
     return wall
+
+
+def bench_graetz():
+    """Nonlinear rectifier, full 1 s span (~1M save points) through the
+    VMEM Pallas integrator; falls back to the XLA runner on a reduced
+    span when the kernel is unavailable."""
+    import cadnip_tpu as ct
+    from cadnip_tpu.ops import pallas_tran
+
+    cc = ct.parse_spice(GRAETZ)
+    if pallas_tran.supported(cc):
+        try:
+            t0 = time.perf_counter()
+            sol = pallas_tran.vmem_tran(cc, (0, 1.0), dt=1e-6,
+                                        rows_per_chunk=4096)
+            np.asarray(sol.xs[-1])
+            log(f"graetz warmup (incl. compile): "
+                f"{time.perf_counter() - t0:.2f}s")
+            v = np.asarray(sol.v("outp", "outn"))
+            late = np.asarray(sol.ts) > 0.9
+            ok = 16.5 < v[late].min() < v[late].max() < 19.0
+            t0 = time.perf_counter()
+            sol = pallas_tran.vmem_tran(cc, (0, 1.0), dt=1e-6,
+                                        rows_per_chunk=4096)
+            np.asarray(sol.xs[-1])
+            wall = time.perf_counter() - t0
+            nn = int(np.asarray(sol.stats.nnewton))
+            log(f"graetz (VMEM kernel, 1 s span): {wall:.2f}s, {nn} NR "
+                f"iters ({wall / max(nn, 1) * 1e6:.1f} us/NR), "
+                f"ripple_ok={ok} "
+                f"(VACASK {VACASK_GRAETZ}s, x{VACASK_GRAETZ / wall:.2f})")
+            return wall
+        except Exception as e:
+            log(f"graetz kernel path failed ({e!r}); XLA fallback")
+    t0 = time.perf_counter()
+    sol = ct.tran(cc, (0, 0.06), dt=1e-4)
+    sol.xs.block_until_ready()
+    log(f"graetz (XLA runner, reduced 0.06s span): "
+        f"{time.perf_counter() - t0:.2f}s incl compile — full-span "
+        f"number requires the VMEM kernel")
+    return None
+
+
+def bench_mul():
+    import cadnip_tpu as ct
+    from cadnip_tpu.ops import pallas_tran
+
+    cc = ct.parse_spice(MUL)
+    if not pallas_tran.supported(cc):
+        log("mul: VMEM kernel unsupported for this circuit; skipped")
+        return None
+    try:
+        t0 = time.perf_counter()
+        sol = pallas_tran.vmem_tran(cc, (0, 5e-3), dt=1e-8,
+                                    rows_per_chunk=4096)
+        np.asarray(sol.xs[-1])
+        log(f"mul warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+        t0 = time.perf_counter()
+        sol = pallas_tran.vmem_tran(cc, (0, 5e-3), dt=1e-8,
+                                    rows_per_chunk=4096)
+        np.asarray(sol.xs[-1])
+        wall = time.perf_counter() - t0
+        nn = int(np.asarray(sol.stats.nnewton))
+        v20 = float(np.asarray(sol["20"])[-1])
+        log(f"mul (VMEM kernel, 5 ms span): {wall:.2f}s, {nn} NR iters, "
+            f"v(20)={v20:.1f}V (pumping toward 200) "
+            f"(VACASK {VACASK_MUL}s, x{VACASK_MUL / wall:.2f})")
+        return wall
+    except Exception as e:
+        log(f"mul kernel path failed: {e!r}")
+        return None
 
 
 def bench_dff():
@@ -105,43 +228,81 @@ def bench_dff_sweep(batch=1024):
     from cadnip_tpu.models.dff import dff_netlist
 
     cc = ct.parse_spice(dff_netlist())
-    # Monte-Carlo over output-stage strengths and load cap
     tab = ct.montecarlo_table(cc, {"cq.c": 0.1, "mno1.w": 0.1,
                                    "mpo1.w": 0.1}, batch, seed=42)
     t0 = time.perf_counter()
     sol = ct.transweep(cc, tab, (0, 6e-7), dt=3.333e-10, max_steps=20000,
                        n_save=61)
     sol.xs.block_until_ready()
-    warm = time.perf_counter() - t0
-    log(f"dff {batch}-way sweep warmup (incl. compile): {warm:.2f}s")
+    log(f"dff {batch}-way sweep warmup (incl. compile): "
+        f"{time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
     sol = ct.transweep(cc, tab, (0, 6e-7), dt=3.333e-10, max_steps=20000,
                        n_save=61)
     sol.xs.block_until_ready()
     wall = time.perf_counter() - t0
-    per = wall / batch
     log(f"dff {batch}-way sweep: {wall:.2f}s total, "
-        f"{per * 1e3:.3f} ms/circuit")
-    return wall, per
+        f"{wall / batch * 1e3:.3f} ms/circuit")
+    return wall
+
+
+def bench_c6288():
+    """The reference's scale proof point: ISCAS-85 c6288 16x16 CMOS
+    multiplier (10,112 FETs) through the BBD path, with the benchmark's
+    own `tran 2p 2n uic` methodology. Functional gate: the product bits
+    must read FFFF*FFFF = 0xFFFE0001 at the end."""
+    import cadnip_tpu as ct
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from c6288_util import build_deck, have_sources
+    if not have_sources():
+        log("c6288: benchmark netlist unavailable; skipped")
+        return None
+    cc = ct.parse_spice(build_deck())
+    log(f"c6288: n={cc.n}, BBD {cc.bbd.K}x{cc.bbd.bs}, "
+        f"border {cc.bbd.nb}")
+    t0 = time.perf_counter()
+    sol = ct.tran(cc, (0, 2e-9), dt=2e-12, uic=True, max_steps=200000,
+                  n_save=201)
+    sol.xs.block_until_ready()
+    warm = time.perf_counter() - t0
+    nn = int(np.asarray(sol.stats.nnewton))
+    bits = [1 if float(np.asarray(sol[f"p{i}"])[-1]) > 0.6 else 0
+            for i in range(32)]
+    val = sum(b << i for i, b in enumerate(bits))
+    log(f"c6288 warmup incl compile: {warm:.1f}s, {nn} NR iters, "
+        f"product={val:#010x} (expect 0xfffe0001)")
+    t0 = time.perf_counter()
+    sol = ct.tran(cc, (0, 2e-9), dt=2e-12, uic=True, max_steps=200000,
+                  n_save=201)
+    sol.xs.block_until_ready()
+    wall = time.perf_counter() - t0
+    nn = int(np.asarray(sol.stats.nnewton))
+    ms_nr = wall / max(nn, 1) * 1e3
+    log(f"c6288 tran 2p 2n uic: {wall:.1f}s, {nn} NR iters, "
+        f"{ms_nr:.2f} ms/NR-iteration at {cc.n} unknowns "
+        f"(VACASK: {VACASK_C6288}s total, {VACASK_C6288_MS_NR} ms/NR at "
+        f"212k unknowns with PSP103)")
+    return wall
 
 
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else "all"
     rc_wall = bench_rc()
     if only == "all":
-        try:
-            bench_dff()
-        except Exception as e:
-            log(f"dff bench failed: {e!r}")
-        try:
-            bench_dff_sweep()
-        except Exception as e:
-            log(f"dff sweep bench failed: {e!r}")
+        for name, fn in (("graetz", bench_graetz), ("mul", bench_mul),
+                         ("dff", bench_dff),
+                         ("dff_sweep", bench_dff_sweep),
+                         ("c6288", bench_c6288)):
+            try:
+                fn()
+            except Exception as e:
+                log(f"{name} bench failed: {e!r}")
     print(json.dumps({
         "metric": "vacask_rc_transient_1M_steps_wall_clock",
         "value": round(rc_wall, 4),
         "unit": "s",
-        "vs_baseline": round(VACASK_RC_SECONDS / rc_wall, 2),
+        "vs_baseline": round(VACASK_RC / rc_wall, 2),
     }))
 
 

@@ -168,8 +168,13 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
     def _run_impl(state_in, x0, lim0, q0, qdot0, params, dyn0, t0, tstop,
                   h0, hmax, hmin, bp_times, save_ts, diff_mask):
         n_bp = bp_times.shape[0]
+        # the save grid is the biggest carry tensor and gets functionally
+        # rewritten every Newton iteration; store it in f32 on TPU (half
+        # the HBM traffic; 1e-7-relative waveform quantization) and f64
+        # elsewhere
+        xs_dtype = jnp.float32 if jax.default_backend() == "tpu" else DTYPE
         # W extra trash rows so windowed writes never clamp at the end
-        xs = jnp.zeros((n_save + max(W, 0), n), DTYPE)
+        xs = jnp.zeros((n_save + max(W, 0), n), xs_dtype)
         save_ts_pad = jnp.concatenate(
             [save_ts, jnp.full(max(W, 0), jnp.inf, DTYPE)])
         if dmeta is not None:
@@ -196,7 +201,7 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
                               jnp.maximum(t_new - t_old, 1e-300), 1.0)
                 w = jnp.clip(w, 0.0, 1.0)
                 xi = x_old[None, :] + w[:, None] * (x_new - x_old)[None, :]
-                xs = jnp.where(mask[:, None], xi, xs)
+                xs = jnp.where(mask[:, None], xi.astype(xs.dtype), xs)
                 return si + jnp.sum(mask, dtype=jnp.int32), xs
             si = jnp.asarray(si, jnp.int32)
             ts_win = jax.lax.dynamic_slice(save_ts_pad, (si,), (W,))
@@ -208,7 +213,7 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
             xi = x_old[None, :] + w[:, None] * (x_new - x_old)[None, :]
             zero = jnp.int32(0)
             win_old = jax.lax.dynamic_slice(xs, (si, zero), (W, n))
-            win = jnp.where(mask[:, None], xi, win_old)
+            win = jnp.where(mask[:, None], xi.astype(xs.dtype), win_old)
             xs = jax.lax.dynamic_update_slice(xs, win, (si, zero))
             return si + jnp.sum(mask, dtype=jnp.int32), xs
 
@@ -460,7 +465,7 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         stats = TranStats(naccept=out["naccept"], nreject=out["nreject"],
                           nnewton=out["nnewton"],
                           fail=out["fail"] | ran_out)
-        xs_out = out["xs"][:n_save]
+        xs_out = out["xs"][:n_save].astype(DTYPE)
         if trace:
             return xs_out, stats, (out["trace"], out["ti"]), out
         return xs_out, stats, out

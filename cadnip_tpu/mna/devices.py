@@ -282,10 +282,10 @@ def _diode_ivq(vd, p, dyn):
     # junction charge (standard fc linearization) + diffusion charge
     cj0, vj, m, fc = p["cjo"] * p["area"], p["vj"], p["m"], p["fc"]
     fcv = fc * vj
-    qj_below = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(
+    qj_below = cj0 * vj / (1.0 - m) * (1.0 - _powx(
         jnp.maximum(1.0 - jnp.minimum(vd, fcv) / vj, 1e-6), 1.0 - m))
-    f1 = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(1.0 - fc, 1.0 - m))
-    f2 = jnp.power(1.0 - fc, -1.0 - m)
+    f1 = cj0 * vj / (1.0 - m) * (1.0 - _powx(1.0 - fc, 1.0 - m))
+    f2 = _powx(1.0 - fc, -1.0 - m)
     qj_above = f1 + cj0 * f2 * ((1.0 - fc * (1.0 + m)) * (vd - fcv)
                                 + 0.5 * m / vj * (vd * vd - fcv * fcv))
     qj = jnp.where(vd < fcv, qj_below, qj_above)
@@ -417,10 +417,10 @@ DIODE_RS = DeviceModel(
 
 def _junction_q(v, cj0, vj, m, fc):
     fcv = fc * vj
-    q_below = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(
+    q_below = cj0 * vj / (1.0 - m) * (1.0 - _powx(
         jnp.maximum(1.0 - jnp.minimum(v, fcv) / vj, 1e-6), 1.0 - m))
-    f1 = cj0 * vj / (1.0 - m) * (1.0 - jnp.power(1.0 - fc, 1.0 - m))
-    f2 = jnp.power(1.0 - fc, -1.0 - m)
+    f1 = cj0 * vj / (1.0 - m) * (1.0 - _powx(1.0 - fc, 1.0 - m))
+    f2 = _powx(1.0 - fc, -1.0 - m)
     q_above = f1 + cj0 * f2 * ((1.0 - fc * (1.0 + m)) * (v - fcv)
                                + 0.5 * m / vj * (v * v - fcv * fcv))
     return jnp.where(v < fcv, q_below, q_above)
@@ -504,6 +504,13 @@ def _mos1_ids(vgs, vds, p, vth):
     i_tri = beta * (vov - 0.5 * vds) * vds * clm
     i_on = jnp.where(vds > vov, i_sat, i_tri)
     return jnp.where(vov <= 0.0, 0.0, i_on)
+
+
+def _powx(x, p):
+    """x**p for strictly-positive x via exp(p*log(x)) — Mosaic (the VMEM
+    integrator kernel) has no lowering for math.powf, and every call site
+    already guards the base positive."""
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-30)))
 
 
 def _limexp_dev(x):

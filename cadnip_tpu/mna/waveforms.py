@@ -160,7 +160,14 @@ _EVALS = [_eval_dc, _eval_pulse, _eval_sin, _eval_pwl, _eval_exp, _eval_sffm]
 
 
 def eval_wave(kind, coeffs, ncoef, t):
-    """Evaluate one packed waveform at time t (all args traced)."""
+    """Evaluate one packed waveform at time t (all args traced).
+
+    A concrete python-int kind dispatches statically — the VMEM
+    integrator kernel injects pre-evaluated waveforms as kind 0 and must
+    not drag every branch (PWL's interp gathers do not lower in Mosaic)
+    into the trace."""
+    if isinstance(kind, int):
+        return _EVALS[kind](t, coeffs, ncoef)
     return jax.lax.switch(kind, _EVALS, t, coeffs, ncoef)
 
 

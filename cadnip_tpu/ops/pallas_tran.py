@@ -40,6 +40,17 @@ otherwise.
 
 Replaces — for this regime — the reference's Sundials IDA + KLU hot
 loop (`src/sweeps.jl:599-601`, SURVEY §2.9) with one on-core program.
+
+STATUS: functionally validated on real v5e Mosaic (RC + graetz match the
+f64 XLA runner to f32 accuracy) but not yet faster: measured ~560
+us/Newton-iteration steady-state vs ~300 us for the XLA runner. The
+per-iteration cost tracks the kernel's ~1500-op body on full [128, 256]
+tiles (Mosaic executes each jaxpr op as real VPU work — no XLA-style
+fusion), not the MXU matmuls or the solve. Known levers, in order:
+shrink the sublane dimension to the circuit size (NP=32 tiles are ~4x
+cheaper), hand-fuse the step-control arithmetic, and drop the
+double-eval of untaken where() branches in the waveform/limiter chains.
+The module stays out of the default tran() path until it wins.
 """
 from __future__ import annotations
 
@@ -94,10 +105,13 @@ class _GroupMeta:
         self.limited = g.model.limit is not None
         NP = _LANE
         S = np.zeros((self.nl * NP, self.NI), np.float32)
+        ST = np.zeros((self.nl * self.NI, NP), np.float32)
         for l in range(self.nl):
             for i in range(g.n_inst):
                 S[l * NP + g.conn[i, l], i] = 1.0
+                ST[l * self.NI + i, g.conn[i, l]] = 1.0
         self.selG = jnp.asarray(S)
+        self.selGT = jnp.asarray(ST)
         rows = []
         for k in self.pnames:
             v = np.asarray(g.params[k], np.float64)
@@ -193,18 +207,25 @@ def _eval_wave_rows(kinds, W, wrow, t):
     return out[0]      # [NI]
 
 
-def _group_assemble(gm: _GroupMeta, selG, Pact, wrow, lim_prev, x_row,
-                    t_now, dynk, F, Q, G, C):
+def _group_assemble(gm: _GroupMeta, selG, selGT, Pact, wrow, lim_prev,
+                    x_row, t_now, dynk, F, Q, G, C):
     """Gather -> (limit) -> residual + row-level linearize -> one-hot
-    matmul scatter for one group. Returns updated (F, Q, G, C, lim_new)."""
+    matmul scatter for one group. Returns updated (F, Q, G, C, lim_new).
+    Every scatter matmul stays in standard (M,K)@(K,N) orientation via
+    the transposed selectors (contracting lane dims forces Mosaic into
+    per-iteration relayouts, measured 5.4 ms vs a few us per Newton
+    iteration); only the solve and charge-correction products contract
+    transposed, once each per iteration."""
     NP = _LANE
     nl = gm.nl
+    NI = gm.NI
     model = gm.model
     pnames = gm.pnames
     act = Pact[len(pnames):len(pnames) + 1, :]
-    dn = (((1,), (1,)), ((), ()))
+    dn = (((1,), (0,)), ((), ()))
 
     sels = [selG[l * NP:(l + 1) * NP, :] for l in range(nl)]
+    selTs = [selGT[l * NI:(l + 1) * NI, :] for l in range(nl)]
     u = jnp.concatenate([x_row @ sels[l] for l in range(nl)], axis=0)
 
     wave_vals = None
@@ -255,15 +276,16 @@ def _group_assemble(gm: _GroupMeta, selG, Pact, wrow, lim_prev, x_row,
         f = f + Jb * du[b:b + 1, :]
         q = q + Cb * du[b:b + 1, :]
         for a in range(nl):
+            # J[row=conn_a, col=conn_b] += dF_a/du_b
             G = G + jax.lax.dot_general(sels[a] * Jb[a:a + 1, :],
-                                        sels[b], dn)
+                                        selTs[b], dn)
             C = C + jax.lax.dot_general(sels[a] * Cb[a:a + 1, :],
-                                        sels[b], dn)
+                                        selTs[b], dn)
     f = f * act
     q = q * act
     for l in range(nl):
-        F = F + jax.lax.dot_general(f[l:l + 1, :], sels[l], dn)
-        Q = Q + jax.lax.dot_general(q[l:l + 1, :], sels[l], dn)
+        F = F + jax.lax.dot_general(f[l:l + 1, :], selTs[l], dn)
+        Q = Q + jax.lax.dot_general(q[l:l + 1, :], selTs[l], dn)
     return F, Q, G, C, lim_new
 
 
@@ -274,13 +296,21 @@ def _gj_inverse(A, n_real, ghost):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 2 * NP), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 2 * NP), 1)
     A = A + ghost
+    # two-sided equilibration: this routine runs on J^T, where partial
+    # pivoting is column pivoting of J — scale both axes so the f32
+    # elimination sees O(1) entries (c0*C junction terms reach 1e5 next
+    # to 1e-12 gmin)
     r = jnp.max(jnp.abs(A), axis=1, keepdims=True)
     rinv = 1.0 / jnp.maximum(r, 1e-30)
+    A = A * rinv
+    c = jnp.max(jnp.abs(A), axis=0, keepdims=True)
+    cinv = 1.0 / jnp.maximum(c, 1e-30)
+    A = A * cinv
     eye = (jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (NP, NP), 1)
            ).astype(F32)
-    # [R*A | R*I]: the GJ result is then inv(A) directly
-    ab = jnp.concatenate([A * rinv, eye * rinv], axis=1)
+    # GJ on [Dr A Dc | Dr I] returns Dc^-1 A^-1, so scale rows by Dc
+    ab = jnp.concatenate([A, eye * rinv], axis=1)
 
     def step(k, ab):
         colmask = col_ids == k
@@ -304,10 +334,12 @@ def _gj_inverse(A, n_real, ghost):
                            unroll=False)
     diag = jnp.sum(jnp.where(row_ids == col_ids, ab, 0.0), axis=1,
                    keepdims=True)
-    return ab[:, NP:] / diag
+    # undo the column scaling: inv(A) = Dc (GJ result)
+    return (ab[:, NP:] / diag) * cinv[0][:, None]
 
 
-def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
+def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
+                win_rows: int = 8):
     """Build the pallas-call wrapper for one circuit.
 
     run(n_chunks, interpret, scal, bp_row, x0, q0, qdot0, diff, atol) ->
@@ -316,6 +348,7 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
 
     NP = _LANE
     rc = int(rows_per_chunk)
+    wr_ = max(8, int(win_rows))
     n = cc.n
     gms = [_GroupMeta(g) for g in cc.groups]
     NG = len(gms)
@@ -340,16 +373,16 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
 
     def kernel(scal_ref, *refs):
         from jax.experimental import pallas as pl
-        vrefs = refs[:10 + 4 * NG]
+        vrefs = refs[:10 + 5 * NG]
         (bp_ref, x0_ref, q0_ref, qd0_ref, diff_ref, atol_ref, vmask_ref,
          nmask_ref, ghost_ref, gdiag_ref) = vrefs[:10]
         grp_refs = vrefs[10:]
-        outs = refs[10 + 4 * NG:10 + 4 * NG + 3]
+        outs = refs[10 + 5 * NG:10 + 5 * NG + 3]
         xs_ref, stats_ref, fin_ref = outs
-        scr = refs[10 + 4 * NG + 3:]
-        srows_ref, sints_ref = scr[0], scr[1]
-        limrefs = scr[2:2 + NG]
-        limaccrefs = scr[2 + NG:2 + 2 * NG]
+        scr = refs[10 + 5 * NG + 3:]
+        srows_ref, sints_ref, sflt_ref = scr[0], scr[1], scr[2]
+        limrefs = scr[3:3 + NG]
+        limaccrefs = scr[3 + NG:3 + 2 * NG]
 
         ci = pl.program_id(0)
         t0 = scal_ref[S_T0]
@@ -388,20 +421,18 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
             for slot, val in ((0, 0), (1, 1), (2, 0), (3, 0), (4, 0),
                               (5, 0), (6, 0), (7, 0), (8, 0), (9, 1)):
                 sints_ref[slot] = jnp.int32(val)
-            stats_ref[:] = jnp.zeros((1, _LANE), F32)
-            stats_ref[0, 8] = t0
-            stats_ref[0, 9] = scal_ref[S_H0]
-            stats_ref[0, 10] = t0 - 1.0
-            stats_ref[0, 11] = t0 - 2.0
+            sflt_ref[0] = t0
+            sflt_ref[1] = scal_ref[S_H0]
+            sflt_ref[2] = t0 - 1.0
+            sflt_ref[3] = t0 - 2.0
             for gi in range(NG):
-                limrefs[gi][:] = grp_refs[4 * gi + 3][:]
-                limaccrefs[gi][:] = grp_refs[4 * gi + 3][:]
+                limrefs[gi][:] = grp_refs[5 * gi + 4][:]
+                limaccrefs[gi][:] = grp_refs[5 * gi + 4][:]
 
         last_row = jnp.minimum((ci + 1) * rc - 1, n_save - 1)
         chunk_t_last = t0 + last_row.astype(F32) * dt_save
         row0 = ci * rc
-        rowt = (t0 + (row0 + jax.lax.broadcasted_iota(
-            jnp.int32, (rc, 1), 0)).astype(F32) * dt_save)
+        wiota = jax.lax.broadcasted_iota(jnp.int32, (wr_, 1), 0)
 
         x = srows_ref[0:1, :]
         x1 = srows_ref[1:2, :]
@@ -409,10 +440,10 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
         qv = srows_ref[3:4, :]
         q1 = srows_ref[4:5, :]
         qdot = srows_ref[5:6, :]
-        t = stats_ref[0, 8]
-        h = stats_ref[0, 9]
-        t1 = stats_ref[0, 10]
-        t2 = stats_ref[0, 11]
+        t = sflt_ref[0]
+        h = sflt_ref[1]
+        t1 = sflt_ref[2]
+        t2 = sflt_ref[3]
         bp_i = sints_ref[0]
         si = sints_ref[1]
         naccept = sints_ref[2]
@@ -427,8 +458,11 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
         limaccs = tuple(limaccrefs[gi][:] for gi in range(NG))
 
         # pre-fill this chunk's block with the entry state (rows the
-        # integrator never crosses — f32 edge cases — hold it)
-        xs0 = jnp.zeros((rc, NP), F32) + x
+        # integrator never crosses — f32 edge cases — hold it); the save
+        # grid lives in the OUTPUT ref, not the while carry: a carry
+        # tensor is functionally copied every Newton iteration (measured
+        # ~5 ms/iter for a [256,128] block)
+        xs_ref[:] = jnp.zeros((rc, NP), F32) + x
 
         def assemble_all(x_row, lim_list, t_now, dynt):
             F = jnp.zeros((1, NP), F32)
@@ -437,12 +471,13 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
             C = jnp.zeros((NP, NP), F32)
             lim_out = []
             for gi, gm in enumerate(gms):
-                selG = grp_refs[4 * gi][:]
-                Pact = grp_refs[4 * gi + 1][:]
-                wrow = grp_refs[4 * gi + 2][:]
+                selG = grp_refs[5 * gi][:]
+                selGT = grp_refs[5 * gi + 1][:]
+                Pact = grp_refs[5 * gi + 2][:]
+                wrow = grp_refs[5 * gi + 3][:]
                 F, Q, G, C, ln = _group_assemble(
-                    gm, selG, Pact, wrow, lim_list[gi], x_row, t_now,
-                    dynt, F, Q, G, C)
+                    gm, selG, selGT, Pact, wrow, lim_list[gi], x_row,
+                    t_now, dynt, F, Q, G, C)
                 lim_out.append(ln)
             gsh = dynt.gshunt
             F = F + gsh * x_row * vrow
@@ -474,8 +509,8 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
         carry0 = (x, x1, x2, qv, q1, qdot, xi, rhs_q,
                   t, h, t1, t2, h_eff, t_new, c0,
                   hit_bp, use_be, it, iord, bp_i, si,
-                  naccept, nreject, nnewton, nsteps, nrej_run, hold, fail,
-                  xs0, lims, limaccs)
+                  naccept, nreject, nnewton, nsteps, nrej_run, hold,
+                  fail, lims, limaccs)
 
         def cond(cs):
             return ((cs[8] < chunk_t_last - 0.01 * dt_save)
@@ -485,14 +520,17 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
         def body(cs):
             (x, x1, x2, qv, q1, qdot, xi, rhs_q, t, h, t1, t2, h_eff,
              t_new, c0, hit_bp, use_be, it, iord, bp_i, si, naccept,
-             nreject, nnewton, nsteps, nrej_run, hold, fail, xs,
+             nreject, nnewton, nsteps, nrej_run, hold, fail,
              lims, limaccs) = cs
             dynt = dynk._replace(time=t_new)
             F, Q, G, C, lim_new = assemble_all(xi, lims, t_new, dynt)
             Ft = (F + c0 * Q - rhs_q) * nrow
+            # row-pivoted GJ on J itself (column pivoting via J^T loses
+            # the diode turn-on moments in f32); the one transposed
+            # contraction per iteration is cheap
             inv = _gj_inverse(G + c0 * C, n, ghost)
-            dx = -jax.lax.dot_general(Ft, inv,
-                                      (((1,), (1,)), ((), ()))) * nrow
+            dx = -jax.lax.dot_general(
+                Ft, inv, (((1,), (1,)), ((), ()))) * nrow
             vstep = jnp.max(jnp.abs(dx) * vrow)
             scale = jnp.minimum(1.0, max_dv / jnp.maximum(vstep, 1e-30))
             scale = jnp.where(max_dv > 0, scale, 1.0)
@@ -500,11 +538,17 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
             xi_new = (xi + dx) * nrow
             tol = reltol * jnp.maximum(jnp.abs(xi_new),
                                        jnp.abs(xi)) + atol
-            ok_dx = jnp.all(jnp.abs(dx) * nrow <= tol)
+            # f32 min-reductions, not jnp.all: Mosaic's reduce_and helper
+            # mints f64 constants under the global x64 flag and then
+            # rejects its own f64 scalar squeeze
+            ok_dx = jnp.min((jnp.abs(dx) * nrow
+                             <= tol).astype(F32)) > 0.5
             rowscale = jnp.abs(F) + jnp.abs(c0 * Q) + jnp.abs(rhs_q)
-            ok_res = jnp.all(jnp.abs(Ft) <= RES_EPS * rowscale + atol)
+            ok_res = jnp.min((jnp.abs(Ft)
+                              <= RES_EPS * rowscale + atol
+                              ).astype(F32)) > 0.5
             ok = ok_dx | ok_res
-            bad = ~jnp.all(jnp.isfinite(xi_new))
+            bad = jnp.min(jnp.isfinite(xi_new).astype(F32)) < 0.5
             xi_new = jnp.where(bad, xi, xi_new)
             lim_new = tuple(jnp.where(bad, lo, ln)
                             for lo, ln in zip(lims, lim_new))
@@ -529,9 +573,11 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
             accept = newton_done & conv & ((enorm <= 1.0)
                                            | (h_eff <= hmin * 1.01))
             reject = newton_done & ~accept
+            # no math.powf in Mosaic: x**(-1/3) via exp/log
             fac = jnp.where(conv,
-                            jnp.clip(0.9 * jnp.power(
-                                jnp.maximum(enorm, 1e-10), -1.0 / 3.0),
+                            jnp.clip(0.9 * jnp.exp(
+                                (-1.0 / 3.0) * jnp.log(
+                                    jnp.maximum(enorm, 1e-10))),
                                 0.02, GROW_MAX),
                             NEWTON_FAIL_CUT)
             fac = jnp.where(accept & (hold > 0),
@@ -541,17 +587,30 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
                                h_next, hmin)
             fail_now = reject & (h_eff <= hmin * 1.01)
 
-            Qc = Q + jax.lax.dot_general(dx, C, (((1,), (1,)), ((), ())))
+            Qc = Q + jax.lax.dot_general(dx, C,
+                                         (((1,), (1,)), ((), ())))
             qdot_new = c0 * Qc - rhs_q
 
-            mrow = ((rowt > t + 1e-37) & (rowt <= t_new + 1e-37)
-                    ).astype(F32)
-            wrow_i = jnp.clip((rowt - t)
-                              / jnp.maximum(t_new - t, tiny), 0.0, 1.0)
-            xi_interp = x + wrow_i * (xi_new - x)
-            nsaved = jnp.int32(jnp.sum(mrow))
-            do_save = accept
-            xs2 = jnp.where((mrow > 0) & do_save, xi_interp, xs)
+            # windowed save: crossed grid rows are contiguous; a
+            # wr_-row dynamic-slice RMW on the OUTPUT ref replaces the
+            # full-block masked rewrite (the step size is capped at
+            # (wr_-2)*dt_save by the driver)
+            k0 = jnp.maximum(
+                jnp.int32(jnp.floor((t - t0) / dt_save)) + 1 - row0,
+                0)
+            k0 = jnp.minimum(k0, rc - wr_)
+            wt = t0 + (row0 + k0 + wiota).astype(F32) * dt_save
+            mwin = (wt > t + 1e-37) & (wt <= t_new + 1e-37)
+            wfac = jnp.clip((wt - t) / jnp.maximum(t_new - t, tiny),
+                            0.0, 1.0)
+            xi_win = x + wfac * (xi_new - x)
+            nsaved = jnp.int32(jnp.sum(mwin.astype(F32)))
+
+            @pl.when(accept)
+            def _save():
+                cur = xs_ref[pl.dslice(k0, wr_), :]
+                xs_ref[pl.dslice(k0, wr_), :] = jnp.where(mwin, xi_win,
+                                                          cur)
 
             acc = accept
             xB = jnp.where(acc, xi_new, x)
@@ -600,25 +659,24 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
 
             return (xB, x1B, x2B, qB, q1B, qdB, xiB, rhs_qB, tB, hB, t1B,
                     t2B, h_effB, t_newB, c0B, hitB, beB, itB, iordB, bpB,
-                    siB, naB, nrB, nnB, nsB, nrrB, holdB, failB, xs2,
+                    siB, naB, nrB, nnB, nsB, nrrB, holdB, failB,
                     lims2, lims_acc2)
 
         out = jax.lax.while_loop(cond, body, carry0)
         (x, x1, x2, qv, q1, qdot, xi, rhs_q, t, h, t1, t2, h_eff, t_new,
          c0, hit_bp, use_be, it, iord, bp_i, si, naccept, nreject,
-         nnewton, nsteps, nrej_run, hold, fail, xs, lims, limaccs) = out
+         nnewton, nsteps, nrej_run, hold, fail, lims, limaccs) = out
 
-        xs_ref[:] = xs
         srows_ref[0:1, :] = x
         srows_ref[1:2, :] = x1
         srows_ref[2:3, :] = x2
         srows_ref[3:4, :] = qv
         srows_ref[4:5, :] = q1
         srows_ref[5:6, :] = qdot
-        stats_ref[0, 8] = t
-        stats_ref[0, 9] = h
-        stats_ref[0, 10] = t1
-        stats_ref[0, 11] = t2
+        sflt_ref[0] = t
+        sflt_ref[1] = h
+        sflt_ref[2] = t1
+        sflt_ref[3] = t2
         for slot, val in ((0, bp_i), (1, si), (2, naccept), (3, nreject),
                           (4, nnewton), (5, nsteps), (6, nrej_run),
                           (7, hold), (8, fail), (9, iord)):
@@ -626,11 +684,11 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
         for gi in range(NG):
             limrefs[gi][:] = lims[gi]
             limaccrefs[gi][:] = limaccs[gi]
-        stats_ref[0, 0] = naccept.astype(F32)
-        stats_ref[0, 1] = nreject.astype(F32)
-        stats_ref[0, 2] = nnewton.astype(F32)
+        stats_ref[0] = naccept.astype(F32)
+        stats_ref[1] = nreject.astype(F32)
+        stats_ref[2] = nnewton.astype(F32)
         ran_out = (nsteps >= max_steps) & (t < tstop * (1.0 - 1e-6))
-        stats_ref[0, 3] = (fail + ran_out.astype(I32)).astype(F32)
+        stats_ref[3] = (fail + ran_out.astype(I32)).astype(F32)
         fin_ref[0:1, :] = x
         fin_ref[1:2, :] = qv
         fin_ref[2:3, :] = qdot
@@ -648,26 +706,38 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int):
         grp_inputs = []
         for gm in gms:
             lim0 = jnp.zeros((gm.nl, gm.NI), F32)
-            grp_inputs += [gm.selG, gm.Pact, gm.wrow, lim0]
+            grp_inputs += [gm.selG, gm.selGT, gm.Pact, gm.wrow, lim0]
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                     + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-                    * (10 + 4 * NG))
+                    * (10 + 5 * NG))
         out_shapes = [jax.ShapeDtypeStruct((n_chunks * rc, NP), F32),
-                      jax.ShapeDtypeStruct((1, _LANE), F32),
+                      jax.ShapeDtypeStruct((16,), F32),
                       jax.ShapeDtypeStruct((8, NP), F32)]
         out_specs = [pl.BlockSpec((rc, NP), lambda i: (i, 0)),
-                     pl.BlockSpec((1, _LANE), c00),
+                     pl.BlockSpec(memory_space=pltpu.SMEM),
                      pl.BlockSpec((8, NP), c00)]
-        scratch = ([pltpu.VMEM((8, NP), F32), pltpu.SMEM((16,), I32)]
+        scratch = ([pltpu.VMEM((8, NP), F32), pltpu.SMEM((16,), I32),
+                    pltpu.SMEM((16,), F32)]
                    + [pltpu.VMEM((gm.nl, gm.NI), F32) for gm in gms]
                    + [pltpu.VMEM((gm.nl, gm.NI), F32) for gm in gms])
-        return pl.pallas_call(
+        call = pl.pallas_call(
             kernel, grid=(n_chunks,), in_specs=in_specs,
             out_shape=out_shapes, out_specs=out_specs,
             scratch_shapes=scratch, interpret=interpret,
-        )(scal, bp_row, x0, q0, qdot0, diff_row, atol_row,
-          jnp.asarray(vmask_np), jnp.asarray(nmask_np),
-          jnp.asarray(ghost_np), jnp.asarray(gdiag_np), *grp_inputs)
+        )
+        # trace under disable_x64: with the global x64 flag on, some
+        # python-float-weak intermediates promote to f64 and Mosaic
+        # rejects f64 scalar squeezes; every kernel quantity is f32
+        # float32 matmul precision is load-bearing: the one-hot
+        # gather/scatter matmuls select VALUES — at the TPU default
+        # (bf16 passes) every state variable would round to 8 mantissa
+        # bits and Newton never meets tolerance
+        with jax.enable_x64(False), \
+                jax.default_matmul_precision("float32"):
+            return call(scal, bp_row, x0, q0, qdot0, diff_row, atol_row,
+                        jnp.asarray(vmask_np), jnp.asarray(nmask_np),
+                        jnp.asarray(ghost_np), jnp.asarray(gdiag_np),
+                        *grp_inputs)
 
     return run
 
@@ -765,9 +835,13 @@ def vmem_tran(cc, tspan, *, dt=None, dtmax=None, n_save=None,
 
     rc = int(rows_per_chunk)
     n_chunks = (n_save + rc - 1) // rc
-    key = ("vmem_tran", rc, nb_pad)
+    win_rows = min(rc, max(8, int(8 * np.ceil(
+        (np.ceil(dtmax / dt_save) + 2) / 8))))
+    # a step may cross at most win_rows-2 grid rows
+    scal[S_HMAX] = min(dtmax, (win_rows - 2) * dt_save)
+    key = ("vmem_tran", rc, nb_pad, win_rows)
     if key not in cc.cache:
-        cc.cache[key] = make_kernel(cc, rc, nb_pad)
+        cc.cache[key] = make_kernel(cc, rc, nb_pad, win_rows)
     run = cc.cache[key]
     xs, stats, fin = run(jnp.asarray(scal), jnp.asarray(bp_row),
                          row(np.asarray(x0)), row(np.asarray(q0)),
@@ -775,10 +849,10 @@ def vmem_tran(cc, tspan, *, dt=None, dtmax=None, n_save=None,
                          jnp.asarray(atol_row),
                          n_chunks=n_chunks, interpret=interpret)
     xs = xs[:n_save, :n].astype(DTYPE)
-    st = TranStats(naccept=jnp.int32(stats[0, 0]),
-                   nreject=jnp.int32(stats[0, 1]),
-                   nnewton=jnp.int32(stats[0, 2]),
-                   fail=stats[0, 3] > 0)
+    st = TranStats(naccept=jnp.int32(stats[0]),
+                   nreject=jnp.int32(stats[1]),
+                   nnewton=jnp.int32(stats[2]),
+                   fail=stats[3] > 0)
     ts = np.linspace(t0, tstop, n_save)
     sol = TranSolution(cc, ts, xs, st, op_converged=op_conv)
     sol.final = fin
