@@ -131,3 +131,95 @@ def convert(text: str, *, to: str = "spice") -> str:
     if to != "spice":
         raise ValueError(f"unsupported target dialect {to!r}")
     return to_spice(cir)
+
+
+# ---------------------------------------------------------------------------
+# Circuit -> Verilog-A subcircuit export (the reference SpiceArmyKnife's
+# `cg_veriloga.jl` backend, SURVEY §2.8): built-in R/C/L/V/I/E/G devices
+# become contribution statements of one analog block; the result compiles
+# back through our own VA compiler (round-trip tested).
+
+def to_veriloga(cir: Circuit, module_name: str = None,
+                ports=None) -> str:
+    """Serialize a Circuit of built-in linear/source devices to a
+    Verilog-A module. `ports`: external net names (default: all nets)."""
+    name = module_name or (cir.title or "converted").split()[0]
+    nets = []
+    for inst in cir.instances:
+        for nd in inst.nodes:
+            if nd not in nets and nd not in ("0", "gnd"):
+                nets.append(nd)
+    ports = list(ports) if ports is not None else nets
+    internal = [n for n in nets if n not in ports]
+
+    def net(nd):
+        return None if nd in ("0", "gnd") else nd
+
+    def acc(p, n):
+        p, n = net(p), net(n)
+        if n is None:
+            return f"V({p})"
+        if p is None:
+            return f"-V({n})"
+        return f"V({p},{n})"
+
+    lines = ['`include "disciplines.vams"',
+             f"module {name}({', '.join(ports)});"]
+    if ports:
+        lines.append(f"  inout {', '.join(ports)};")
+    decl = ports + internal
+    if decl:
+        lines.append(f"  electrical {', '.join(decl)};")
+    body = []
+    for inst in cir.instances:
+        m = inst.model.name
+        p = dict(inst.model.defaults, **inst.params)
+        nd = inst.nodes
+
+        def contrib(pn, nn, expr):
+            pn, nn = net(pn), net(nn)
+            tgt = (f"I({pn},{nn})" if pn and nn
+                   else f"I({pn})" if pn else f"I({nn})")
+            sgn = "" if pn else "-"
+            body.append(f"  {tgt} <+ {sgn}{expr};")
+
+        if m == "resistor":
+            contrib(nd[0], nd[1], f"{acc(nd[0], nd[1])}/{_fmt(p['r'])}")
+        elif m == "capacitor":
+            contrib(nd[0], nd[1], f"ddt({_fmt(p['c'])}*{acc(nd[0], nd[1])})")
+        elif m == "inductor":
+            contrib(nd[0], nd[1],
+                    f"idt({acc(nd[0], nd[1])})/{_fmt(p['l'])}")
+        elif m == "vsource":
+            w = inst.wave
+            expr = _fmt(w.dc if w is not None else 0.0)
+            if w is not None and w.kind == wf.WAVE_SIN:
+                vo, va, fr = w.coeffs[0], w.coeffs[1], w.coeffs[2]
+                expr = (f"{_fmt(vo)}+{_fmt(va)}"
+                        f"*sin(6.283185307179586*{_fmt(fr)}*$abstime)")
+            pn, nn = net(nd[0]), net(nd[1])
+            tgt = (f"V({pn},{nn})" if pn and nn
+                   else f"V({pn})" if pn else f"V({nn})")
+            body.append(f"  {tgt} <+ {'' if pn else '-'}{expr};")
+        elif m == "isource":
+            w = inst.wave
+            contrib(nd[0], nd[1], _fmt(w.dc if w is not None else 0.0))
+        elif m == "vccs":
+            contrib(nd[0], nd[1],
+                    f"{_fmt(p['gm'])}*{acc(nd[2], nd[3])}")
+        elif m == "vcvs":
+            pn, nn = net(nd[0]), net(nd[1])
+            tgt = (f"V({pn},{nn})" if pn and nn
+                   else f"V({pn})" if pn else f"V({nn})")
+            body.append(
+                f"  {tgt} <+ {'' if pn else '-'}{_fmt(p['gain'])}"
+                f"*{acc(nd[2], nd[3])};")
+        else:
+            raise ValueError(
+                f"to_veriloga: unsupported device {inst.name!r} "
+                f"({m}); supported: R, C, L, V, I, E, G")
+    lines.append("  analog begin")
+    lines.extend(body)
+    lines.append("  end")
+    lines.append("endmodule")
+    return "\n".join(lines) + "\n"

@@ -52,3 +52,27 @@ c1 out 0 1u
     assert bool(sol.converged)
     v = np.asarray(sol["out"])
     assert 0.5 < v[np.argmin(np.abs(sol.ts - 1e-3))] < 0.7
+
+
+def test_to_veriloga_round_trip(tmp_path):
+    # Circuit -> Verilog-A -> compile through our own VA compiler ->
+    # same DC solution (SpiceArmyKnife cg_veriloga parity)
+    import cadnip_tpu as ct
+    from cadnip_tpu.frontend.writer import to_veriloga
+    from cadnip_tpu import dc, parse_spice
+
+    cir = ct.Circuit("divider")
+    cir.V("vs", "in", "0", dc=6.0)
+    cir.R("r1", "in", "mid", 1e3)
+    cir.R("r2", "mid", "0", 2e3)
+    va = to_veriloga(cir, module_name="divider", ports=[])
+    p = tmp_path / "divider.va"
+    p.write_text(va)
+    cc = parse_spice(f"""va round trip
+.hdl "{p}"
+x1 divider
+rbig probe 0 1k
+""")
+    sol = dc(cc)
+    assert bool(sol.converged)
+    assert float(sol["x1#mid"]) == pytest.approx(4.0, rel=1e-9)
