@@ -62,24 +62,50 @@ def acdec(points_per_decade: int, fstart: float, fstop: float) -> np.ndarray:
 
 def make_ac_sweep(cc: CompiledCircuit, method: str | None = None):
     """Build ac_sweep(x_op, params, dyn, omegas) -> (x_re, x_im) with shape
-    [n_freq, n]."""
+    [n_freq, n].
+
+    Transport delays (`absdelay`) enter the small-signal system as
+    Y(jω) = S · diag(e^{-jωτ}) · P, where S = ∂f/∂dly and P = ∂probe/∂x
+    at the operating point (reference threads the DDE history through the
+    AC rebuild; here the phase factor is exact per frequency)."""
+    from ..mna.assemble import make_delay_meta
     assemble = make_assembler(cc)
     b_ac_fn = make_ac_rhs(cc)
+    dmeta = make_delay_meta(cc)
     method = method or solve_method_for_backend()
 
     def ac_sweep(x_op, params, dyn, omegas):
         xp = pad_state(x_op)
         lim = assemble.init_lim(xp)
-        _, _, G, C, _ = assemble(xp, lim, params, dyn)
+        n = cc.n
+        if dmeta is None:
+            _, _, G, C, _ = assemble(xp, lim, params, dyn)
+            SP = None
+        else:
+            vals, taus = dmeta.probe(xp, params, dyn)
+            # hold the delayed inputs fixed for the base linearization
+            _, _, G, C, _ = assemble(xp, lim, params, dyn, vals)
+            S = jax.jacfwd(
+                lambda d: assemble(xp, lim, params, dyn, d)[0])(vals)
+            P = jax.jacfwd(
+                lambda x: dmeta.probe(pad_state(x), params, dyn)[0])(x_op)
+            SP = (S, P, taus)
         br, bi = b_ac_fn(params)
 
         def one(w):
+            Gw, Cw = G, C
+            if SP is not None:
+                S, P, taus = SP
+                # S diag(e^{-jw tau}) P: real -> G, imag -> w*C slot
+                cosr = S * jnp.cos(w * taus)[None, :]
+                sinr = S * jnp.sin(w * taus)[None, :]
+                Gw = G + cosr @ P
+                Cw = C - (sinr @ P) / jnp.maximum(w, 1e-300)
             return dense_solve(
-                jnp.block([[G, -w * C], [w * C, G]]),
+                jnp.block([[Gw, -w * Cw], [w * Cw, Gw]]),
                 jnp.concatenate([br, bi]), method=method)
 
         xs = jax.vmap(one)(omegas)
-        n = cc.n
         return xs[:, :n], xs[:, n:]
 
     return ac_sweep

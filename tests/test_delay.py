@@ -94,3 +94,21 @@ r1 out 0 1k
     # t > 6u: both terms high -> 1.5
     i = np.argmin(np.abs(ts - 9e-6))
     assert vout[i] == pytest.approx(1.5, abs=1e-3)
+
+
+def test_absdelay_ac_phase(va_path):
+    # small-signal transport delay: H(jw) = e^{-jw td} exactly
+    from cadnip_tpu.analyses.ac import ac
+    cc = parse_spice(f"""delay ac
+.hdl "{va_path}"
+v1 in 0 dc 1 ac 1
+x1 in out dline td=5u
+r1 out 0 1k
+""")
+    freqs = np.array([1e3, 1e4, 5e4])
+    sol = ac(cc, freqs)
+    h = np.asarray(sol["out"])
+    td = 5e-6
+    expect = np.exp(-1j * 2 * np.pi * freqs * td)
+    assert np.abs(h).max() == pytest.approx(1.0, rel=1e-6)
+    assert np.allclose(np.angle(h), np.angle(expect), atol=1e-6)
