@@ -350,6 +350,12 @@ class VACompiler:
             den = _roots_pairs_to_poly(den)
         elif kind == "laplace_zd":
             num = _roots_pairs_to_poly(num)
+        # strip trailing zero coefficients (ascending powers): models pad
+        # the numerator to the denominator width ({K,0,0,...})
+        while len(num) > 1 and float(num[-1]) == 0.0:
+            num = num[:-1]
+        while len(den) > 1 and float(den[-1]) == 0.0:
+            den = den[:-1]
         if len(num) >= len(den):
             raise VACompileError(f"{kind}: numerator order must be below "
                                  f"denominator order")
@@ -2065,11 +2071,39 @@ def compile_va_module(mod: VAModule, include_dirs=(),
     return model
 
 
+def _resolve_sibling_modules(lib: dict, include_dirs):
+    """Instantiated modules not defined in the same file resolve to
+    sibling '<Name>.va' files on the include path (the reference model
+    packages compile each .va into one package namespace; the photonic
+    models instantiate Polar2Cartesian etc. across files)."""
+    import os
+    changed = True
+    while changed:
+        changed = False
+        needed = set()
+        for m in lib.values():
+            for inst in m.instances:
+                if inst[0] not in lib:
+                    needed.add(inst[0])
+        for name in needed:
+            for d in include_dirs:
+                path = os.path.join(d, name + ".va")
+                if os.path.exists(path):
+                    with open(path) as fh:
+                        for mm in parse_va(fh.read(), include_dirs):
+                            if mm.name not in lib:
+                                lib[mm.name] = mm
+                                changed = True
+                    break
+
+
 def compile_va(text: str, include_dirs=()) -> dict:
     """VA source -> {module_name: DeviceModel}. Multi-module files may
-    instantiate sibling modules; hierarchy is flattened by inlining."""
+    instantiate sibling modules (same file or sibling .va files on the
+    include path); hierarchy is flattened by inlining."""
     mods = parse_va(text, include_dirs)
     lib = {m.name: m for m in mods}
+    _resolve_sibling_modules(lib, include_dirs)
     return {m.name: compile_va_module(inline_hierarchy(m, lib),
                                       include_dirs=include_dirs)
             for m in mods}

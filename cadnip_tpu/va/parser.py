@@ -85,6 +85,9 @@ class VAModule:
     functions: dict                   # name -> VAFunction
     # child module instantiations: (submodule, inst_name, nets, overrides)
     instances: list = dataclasses.field(default_factory=list)
+    # vector nets: base name -> (lo, hi) (expanded to name__k scalars by
+    # the parser's bus post-pass)
+    buses: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -126,10 +129,59 @@ class VAFunction:
 # ('str', s)
 
 
+def _expand_buses(m: VAModule):
+    """Scalarize vector nets: a bus `name` of range (lo, hi) becomes
+    scalars name__lo..name__hi everywhere — ports (order preserved),
+    discipline table, internal nodes, and child-instance connections
+    (a bare bus connection expands to all members; ('slice', nm, a, b)
+    to that sub-range). Analog-block accesses were scalarized at parse
+    (OptE(x[2]) -> x__2)."""
+    if not m.buses:
+        return
+
+    def widen(nm):
+        if nm in m.buses:
+            lo, hi = m.buses[nm]
+            step = 1 if hi >= lo else -1
+            return [f"{nm}__{k}" for k in range(lo, hi + step, step)]
+        return [nm]
+
+    ports = []
+    for nm, d in m.ports:
+        ports.extend((x, d) for x in widen(nm))
+    m.ports = [list(p) for p in ports]
+    disc = {}
+    for nm, d in m.disciplines.items():
+        for x in widen(nm):
+            disc[x] = d
+    m.disciplines = disc
+    nodes = []
+    for nm in m.internal_nodes:
+        nodes.extend(widen(nm))
+    m.internal_nodes = nodes
+    insts = []
+    for (sub, inst, nets, overrides) in m.instances:
+        flat = []
+        for c in nets:
+            if isinstance(c, tuple) and c and c[0] == "slice":
+                _, nm, a, b = c
+                step = 1 if b >= a else -1
+                flat.extend(f"{nm}__{k}" for k in range(a, b + step, step))
+            else:
+                flat.extend(widen(c))
+        insts.append((sub, inst, flat, overrides))
+    m.instances = insts
+
+
 class Parser:
     def __init__(self, toks, src=""):
         self.toks = toks
         self.i = 0
+        # custom disciplines (photonics etc.): nature access fn -> V/I
+        # semantics, built while parsing nature/discipline blocks
+        self.natures = {}
+        self.disc_names = set()
+        self.acc_kind = {"V": "V", "I": "I"}
 
     # ---- token helpers
     def peek(self, k=0):
@@ -162,6 +214,43 @@ class Parser:
                                f"got {t[1]!r}")
         return t[1]
 
+    def _nature(self):
+        """Parse a nature block: collect access/abstol/units (reference
+        build_access_map, `src/vasim.jl:3997` — custom disciplines like
+        the photonic models' optical nets)."""
+        self.next()
+        nname = self.ident()
+        fields = {}
+        while not self.at("endnature") and self.peek()[0] != "eof":
+            t = self.next()
+            if t[0] == "id" and self.peek()[1] == "=":
+                self.next()
+                toks = []
+                while self.peek()[1] != ";" and self.peek()[0] != "eof":
+                    toks.append(self.next()[1])
+                self.accept(";")
+                fields[t[1]] = toks[0] if len(toks) == 1 else toks
+        self.expect("endnature")
+        self.natures[nname] = fields
+
+    def _discipline(self):
+        self.next()
+        dname = self.ident()
+        self.disc_names.add(dname)
+        while not self.at("enddiscipline") and self.peek()[0] != "eof":
+            t = self.next()
+            if t[1] in ("potential", "flow") and self.peek()[0] == "id":
+                nat = self.ident()
+                self.accept(";")
+                acc = self.natures.get(nat, {}).get("access")
+                # never remap the electrical builtins: disciplines.vams
+                # defines single-nature 'voltage'/'current' disciplines
+                # where Current appears as a POTENTIAL
+                if acc and acc not in ("V", "I"):
+                    self.acc_kind[acc] = ("V" if t[1] == "potential"
+                                          else "I")
+        self.expect("enddiscipline")
+
     # ---- top level
     def parse_file(self):
         mods = []
@@ -170,9 +259,9 @@ class Parser:
             if t[1] in ("module", "macromodule"):
                 mods.append(self.module())
             elif t[1] == "nature":
-                self.skip_until("endnature")
+                self._nature()
             elif t[1] == "discipline":
-                self.skip_until("enddiscipline")
+                self._discipline()
             else:
                 self.next()   # stray tokens between modules
         return mods
@@ -201,6 +290,7 @@ class Parser:
         while not self.at("endmodule") and self.peek()[0] != "eof":
             self.module_item(m, port_names)
         self.expect("endmodule")
+        _expand_buses(m)
         return m
 
     def module_item(self, m: VAModule, port_names):
@@ -212,8 +302,11 @@ class Parser:
         w = t[1]
         if w in ("input", "output", "inout"):
             self.next()
+            rng = self.bus_range()
             while True:
                 nm = self.ident()
+                if rng is not None:
+                    m.buses[nm] = rng
                 for p in m.ports:
                     if p[0] == nm:
                         p[1] = w
@@ -221,12 +314,15 @@ class Parser:
                     break
             self.expect(";")
         elif w == "electrical" or (t[0] == "id" and w not in KEYWORDS and
-                                   self.peek(1)[0] == "id" and
+                                   (self.peek(1)[0] == "id"
+                                    or self.peek(1)[1] == "[") and
                                    self._looks_discipline(w)):
             disc = self.next()[1]
+            rng = self.bus_range()
             while True:
                 nm = self.ident()
-                # array ranges on nodes: electrical [0:3] ... (skip)
+                if rng is not None:
+                    m.buses[nm] = rng
                 m.disciplines[nm] = disc
                 if nm not in port_names:
                     m.internal_nodes.append(nm)
@@ -314,10 +410,23 @@ class Parser:
             inst = self.ident()
             self.expect("(")
             nets = []
+
+            def conn():
+                nm = self.ident()
+                if self.accept("["):
+                    a = int(float(self.next()[1]))
+                    if self.accept(":"):
+                        b = int(float(self.next()[1]))
+                        self.expect("]")
+                        return ("slice", nm, a, b)
+                    self.expect("]")
+                    return f"{nm}__{a}"
+                return nm
+
             if not self.at(")"):
-                nets.append(self.ident())
+                nets.append(conn())
                 while self.accept(","):
-                    nets.append(self.ident())
+                    nets.append(conn())
             self.expect(")")
             self.expect(";")
             m.instances.append((sub, inst, nets, overrides))
@@ -325,8 +434,9 @@ class Parser:
             raise VAParseError(f"line {t[2]}: unexpected {w!r} in module")
 
     def _looks_discipline(self, w):
-        return w in ("electrical", "optical", "thermal", "kinematic",
-                     "rotational", "magnetic", "voltage", "current")
+        return (w in self.disc_names
+                or w in ("electrical", "optical", "thermal", "kinematic",
+                         "rotational", "magnetic", "voltage", "current"))
 
     def range_spec(self, op):
         # from [lo:hi] / from (lo:hi) / exclude val
@@ -471,7 +581,8 @@ class Parser:
                 depth -= tt == ")"
             return ("event", self.statement())
         # access contribution or assignment
-        if t[0] == "id" and self.peek(1)[1] == "(" and t[1] in ("V", "I"):
+        if t[0] == "id" and self.peek(1)[1] == "(" \
+                and t[1] in self.acc_kind:
             # could be contribution V(a,b) <+ ... or indirect assignment
             save = self.i
             acc = self.access()
@@ -508,13 +619,37 @@ class Parser:
         return ("assign", nm, self.expr())
 
     def access(self):
-        kind = self.ident()       # V or I
+        kind = self.acc_kind[self.ident()]   # V/I or a custom access fn
         self.expect("(")
-        nets = [self.ident()]
+        nets = [self.net_ref()]
         if self.accept(","):
-            nets.append(self.ident())
+            nets.append(self.net_ref())
         self.expect(")")
         return ("acc", kind, tuple(nets))
+
+    def net_ref(self):
+        """A net reference, possibly a constant-indexed bus member
+        (OptE(out[2]) -> 'out__2'). Bus indices must be literal ints."""
+        nm = self.ident()
+        if self.accept("["):
+            t = self.next()
+            if t[0] != "num":
+                raise VAParseError(
+                    f"line {t[2]}: bus index must be a literal integer")
+            idx = int(float(t[1]))
+            self.expect("]")
+            return f"{nm}__{idx}"
+        return nm
+
+    def bus_range(self):
+        """Optional [lo:hi] range; returns (lo, hi) or None."""
+        if not self.accept("["):
+            return None
+        lo = int(float(self.next()[1]))
+        self.expect(":")
+        hi = int(float(self.next()[1]))
+        self.expect("]")
+        return (lo, hi)
 
     # ---- expressions (Pratt)
     def expr(self):
@@ -645,7 +780,7 @@ class Parser:
             if val == "inf":
                 return ("num", float("inf"))
             if self.at("("):
-                if val in ("V", "I"):
+                if val in self.acc_kind:
                     self.i -= 1
                     return self.access()
                 self.next()
