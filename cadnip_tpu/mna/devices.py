@@ -354,8 +354,10 @@ def _vcrit(p, dyn):
 def _diode_limit(u, u_prev, p, dyn):
     vd = pnjlim(u[0] - u[1], u_prev[0] - u_prev[1], p["n"] * dyn.vt,
                 _vcrit(p, dyn))
-    # move the limited junction delta onto the anode side
-    return u.at[0].set(u[1] + vd)
+    # move the limited junction delta onto the anode side (stack, not
+    # .at[].set: indexed set lowers to scatter, which Mosaic — the VMEM
+    # integrator kernel — cannot lower)
+    return jnp.stack([u[1] + vd, u[1]])
 
 
 def _diode_noise(u, p, dyn):
@@ -394,7 +396,7 @@ def _diode_rs_residual(u, p, dyn):
 def _diode_rs_limit(u, u_prev, p, dyn):
     vd = pnjlim(u[2] - u[1], u_prev[2] - u_prev[1], p["n"] * dyn.vt,
                 _vcrit(p, dyn))
-    return u.at[2].set(u[1] + vd)
+    return jnp.stack([u[0], u[1], u[1] + vd])
 
 
 def _diode_rs_noise(u, p, dyn):
@@ -471,7 +473,7 @@ def _bjt_limit(u, u_prev, p, dyn):
     vbe = pnjlim(ty * (u[1] - u[2]), ty * (u_prev[1] - u_prev[2]), vt, vcrit)
     vbc = pnjlim(ty * (u[1] - u[0]), ty * (u_prev[1] - u_prev[0]), vt, vcrit)
     # keep base voltage, move emitter/collector to honor limited junctions
-    return u.at[2].set(u[1] - ty * vbe).at[0].set(u[1] - ty * vbc)
+    return jnp.stack([u[1] - ty * vbc, u[1], u[1] - ty * vbe])
 
 
 def _bjt_noise(u, p, dyn):
