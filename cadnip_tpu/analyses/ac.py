@@ -115,6 +115,8 @@ def ac(cc: CompiledCircuit, freqs, params=None, *, op_x=None) -> ACSolution:
     """AC analysis over the given frequency grid [Hz]."""
     if params is None:
         params = cc.params0()
+    from ..mna.assemble import ensure_setup
+    params = ensure_setup(cc, params)
     freqs = np.atleast_1d(np.asarray(freqs, np.float64))
     op = None
     if op_x is None:
@@ -122,7 +124,7 @@ def ac(cc: CompiledCircuit, freqs, params=None, *, op_x=None) -> ACSolution:
         op_x = op.x
     key = ("ac_sweep",)
     if key not in cc.cache:
-        cc.cache[key] = jax.jit(make_ac_sweep(cc))
+        cc.cache[key] = cc.jit(make_ac_sweep(cc))
     dyn = cc.spec.dyn(mode=MODE_AC)
     omegas = jnp.asarray(2.0 * np.pi * freqs, DTYPE)
     x_re, x_im = cc.cache[key](jnp.asarray(op_x, DTYPE), params, dyn, omegas)

@@ -64,20 +64,26 @@ class DCSolution:
         # the trailing axis, so 2-D packed params keep their row intact.
         p = jax.tree.map(lambda a: jnp.asarray(a)[slot], params[gi])
         dyn = self.cc.spec.dyn()
-        return g, u, p, dyn
+        return g, u, p, dyn, g.conn[slot]
 
     def currents(self, inst):
         """Terminal currents of a device at the DC operating point:
-        {terminal_name: current flowing INTO the device} (reference
-        terminal-current op info, `vasim.jl:3057-3095`)."""
-        g, u, p, dyn = self._eval_device(inst)
+        {terminal_name: current flowing INTO the device}. Local slots that
+        merged onto the terminal's global unknown (VA node collapse) are
+        accumulated into it — the reference's per-port terminal-current
+        accumulation incl. collapsed internals (`vasim.jl:3057-3095`)."""
+        g, u, p, dyn, conn = self._eval_device(inst)
         f, _ = g.model.residual(u, p, dyn)
-        return {t: float(f[i]) for i, t in enumerate(g.model.terminals)}
+        f = np.asarray(f)
+        out = {}
+        for i, t in enumerate(g.model.terminals):
+            out[t] = float(f[np.asarray(conn) == conn[i]].sum())
+        return out
 
     def op_info(self, inst):
         """Model-defined operating-point variables (gm, ids, ...) for one
         instance, if its model publishes them."""
-        g, u, p, dyn = self._eval_device(inst)
+        g, u, p, dyn, _ = self._eval_device(inst)
         if g.model.opvars is None:
             return {}
         vals = g.model.opvars(u, p, dyn)
@@ -98,7 +104,7 @@ class DCSolution:
 def _get_dc_solver(cc: CompiledCircuit):
     key = "dc_solver"
     if key not in cc.cache:
-        cc.cache[key] = jax.jit(make_dc_solver(cc))
+        cc.cache[key] = cc.jit(make_dc_solver(cc))
     return cc.cache[key]
 
 
@@ -122,12 +128,14 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
         for node, v in nodeset.items():
             x0 = x0.at[cc.index_of(str(node))].set(float(v))
     dyn = cc.spec.dyn(mode=mode, time=time)
+    from ..mna.assemble import ensure_setup
+    params = ensure_setup(cc, params, dyn)
     r = _get_dc_solver(cc)(x0, params, dyn)
     if rescue and not np.asarray(r.converged).all():
         key = "dc_ptran_rescue"
         if key not in cc.cache:
             from ..mna.newton import make_ptran_rescue
-            cc.cache[key] = jax.jit(make_ptran_rescue(cc))
+            cc.cache[key] = cc.jit(make_ptran_rescue(cc))
         r2 = cc.cache[key](x0, params, dyn)
         take = jnp.asarray(r2.converged)
         r = type(r)(x=jnp.where(take, r2.x, r.x),

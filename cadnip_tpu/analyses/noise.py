@@ -158,6 +158,8 @@ def noise(cc: CompiledCircuit, out, freqs, params=None, *, input=None,
     `freqs`; if `input` names a V/I source, also input-referred PSD."""
     if params is None:
         params = cc.params0()
+    from ..mna.assemble import ensure_setup
+    params = ensure_setup(cc, params)
     freqs = np.atleast_1d(np.asarray(freqs, np.float64))
     op = None
     if op_x is None:
@@ -167,7 +169,7 @@ def noise(cc: CompiledCircuit, out, freqs, params=None, *, input=None,
     key = ("noise_sweep",)
     if key not in cc.cache:
         sweep, labels, sizes = make_noise_sweep(cc)
-        cc.cache[key] = (jax.jit(sweep, static_argnames=("want_inoise",)),
+        cc.cache[key] = (cc.jit(sweep, static_argnames=("want_inoise",)),
                          labels, sizes)
     sweep, labels, sizes = cc.cache[key]
 

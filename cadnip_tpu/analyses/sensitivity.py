@@ -92,7 +92,7 @@ def dc_sensitivity(cc: CompiledCircuit, names, params=None, *, sol=None,
 
             return jax.vmap(one)(tangents)
 
-        cc.cache[key] = jax.jit(sens)
+        cc.cache[key] = cc.jit(sens)
 
     # one-hot tangents over the float leaves, stacked over requested params
     pf, _ = _float_partition(params)

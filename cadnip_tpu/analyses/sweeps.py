@@ -139,6 +139,15 @@ def batch_params(cc: CompiledCircuit, table: dict, params=None):
         vals = np.where(np.isnan(vals), base, vals)
         holder[pn] = arr.at[:, slot].set(jnp.asarray(vals, DTYPE))
         ax_holder[pn] = 0
+    # host-setup injection AFTER batching so swept VA parameters re-enter
+    # the hoisted setup pass (broadcast: [batch, n_inst, K] when any group
+    # param is batched, else [n_inst, K] shared across lanes)
+    from ..mna.assemble import ensure_setup
+    params = ensure_setup(cc, params)
+    for gi in range(len(params)):
+        if "__setup__" in params[gi]:
+            axes[gi]["__setup__"] = (
+                0 if params[gi]["__setup__"].ndim == 3 else None)
     return params, axes
 
 
@@ -153,7 +162,7 @@ def dcsweep(cc: CompiledCircuit, sweep, params=None, *, mode=MODE_DCOP,
     key = ("dcsweep", tuple(sorted(table)))
     if key not in cc.cache:
         solver = make_dc_solver(cc)
-        cc.cache[key] = jax.jit(jax.vmap(solver, in_axes=(None, axes, None)))
+        cc.cache[key] = cc.jit(jax.vmap(solver, in_axes=(None, axes, None)))
     if x0 is None:
         x0 = jnp.zeros(cc.n, DTYPE)
     dyn = cc.spec.dyn(mode=mode)

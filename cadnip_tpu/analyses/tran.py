@@ -502,6 +502,9 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
         raise ValueError(f"tran needs tstop > t0, got tspan=({t0}, {tstop})")
     if params is None:
         params = cc.params0()
+    if _vmap_axes is None:
+        from ..mna.assemble import ensure_setup
+        params = ensure_setup(cc, params)
     if dt is None:
         dt = (tstop - t0) / 1000.0
     if dtmax is None:
@@ -524,7 +527,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
             from ..mna.newton import make_dc_solver
             okey = ("dcsweep_for_tran", str(_vmap_axes))
             if okey not in cc.cache:
-                cc.cache[okey] = jax.jit(jax.vmap(
+                cc.cache[okey] = cc.jit(jax.vmap(
                     make_dc_solver(cc), in_axes=(None, _vmap_axes, None)))
             r0 = cc.cache[okey](jnp.zeros(cc.n, DTYPE), params,
                                 cc.spec.dyn(mode=MODE_TRANOP, time=t0))
@@ -545,7 +548,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
         wkey = ("uic_warmup", method)
         if wkey not in cc.cache:
             from ..mna.newton import make_uic_warmup
-            cc.cache[wkey] = jax.jit(make_uic_warmup(cc, method=method))
+            cc.cache[wkey] = cc.jit(make_uic_warmup(cc, method=method))
         h_w = max((tstop - t0) * 1e-12, dt * 1e-6)
         x0 = cc.cache[wkey](x0, params,
                             cc.spec.dyn(mode=MODE_TRAN, time=t0),
@@ -657,7 +660,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
                                    in_axes=(0, 0, _vmap_axes, None, None,
                                             None, None, None, None, None,
                                             None))
-        cc.cache[key] = (jax.jit(full), jax.jit(full_resume))
+        cc.cache[key] = (cc.jit(full), cc.jit(full_resume))
 
     dyn0 = cc.spec.dyn(mode=MODE_TRAN, time=t0)
     # hmin floor: below ~1e-5*dt the trapezoidal system G + (2/h)C becomes

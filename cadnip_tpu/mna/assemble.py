@@ -25,6 +25,43 @@ from .spec import DynSpec
 from .structure import CompiledCircuit
 
 
+def ensure_setup(cc, params, dyn=None):
+    """Inject the host-setup value matrix p['__setup__'] for every group
+    whose model hoists its setup pass (big VA models — see
+    DeviceModel.va_setup). Called at every solver entry point so altered/
+    swept parameters are honored; results are cached per (group, params,
+    temperature). A no-op when params are tracers (the traced in-graph
+    setup path then runs instead) or when no group hoists."""
+    if not any(g.model.va_setup is not None for g in cc.groups):
+        return params
+    if dyn is None:
+        dyn = cc.spec.dyn()
+    try:
+        temp = float(np.asarray(dyn.temp))
+    except Exception:
+        return params
+    out = list(params)
+    cache = cc.cache.setdefault("__setup_cache__", {})
+    for gi, g in enumerate(cc.groups):
+        if g.model.va_setup is None:
+            continue
+        p = dict(out[gi])
+        try:
+            arrs = {k: np.asarray(v) for k, v in p.items()
+                    if k != "__setup__"}
+        except Exception:
+            continue      # traced params: leave the in-graph path
+        fp = (gi, temp, tuple(sorted(
+            (k, v.tobytes()) for k, v in arrs.items())))
+        mat = cache.get(fp)
+        if mat is None:
+            mat = g.model.va_setup(arrs, dyn)
+            cache[fp] = mat
+        p["__setup__"] = jnp.asarray(mat, DTYPE)
+        out[gi] = p
+    return out
+
+
 def make_sorted_scatter(idx_arrays, out_size):
     """Host-precomputed scatter-add plan: concatenate the flattened stamp
     destinations of every group, argsort ONCE at build time, and at trace

@@ -102,6 +102,14 @@ class DeviceModel:
     # signature (set on base VA models with collapse candidates; the
     # frontend calls it per instance)
     va_specialize: Optional[Callable] = None
+    # Host-setup hoisting for big VA models (PSP/BSIM class): the
+    # (params, temperature)-only setup pass evaluated eagerly on CPU once
+    # per solve, outside jit. va_setup(p_arrays, dyn) -> [..., n_inst, K]
+    # value matrix the residual reads back through p['__setup__'] (the
+    # reference's per-instance temp/geometry precompute split, e.g.
+    # DIOtempUpdate vs DIOload). `ensure_setup` (mna/assemble.py) injects
+    # it at every solver entry.
+    va_setup: Optional[Callable] = None
 
     @property
     def n_terminals(self):

@@ -216,6 +216,20 @@ class CompiledCircuit:
         raise KeyError(f"unknown node/unknown {name!r}; known: "
                        f"{sorted(self.names)[:12]}...")
 
+    def jit(self, fn, **kw):
+        """jax.jit with per-circuit compiler options. Circuits carrying
+        big VA models (PSP/BSIM class, host-setup hoisted) disable
+        XLA:CPU's `fusion` pass: it is superlinear on 20k+ scalar-op
+        graphs (PSP103's 1-FET group-eval: 65 s without the pass, >10 min
+        with). The reference hits the same blowup class in LLVM and builds
+        c6288 at -O0 (`benchmarks/vacask/run_benchmarks.jl:244-252`)."""
+        import jax as _jax
+        big = any(g.model.va_setup is not None for g in self.groups)
+        if big and _jax.default_backend() == "cpu":
+            kw.setdefault("compiler_options",
+                          {"xla_disable_hlo_passes": "fusion"})
+        return _jax.jit(fn, **kw)
+
 
 def elaborate(cir: Circuit, spec: SimSpec) -> CompiledCircuit:
     # ---- node table (ground excluded; padding slot == n_unknowns)

@@ -65,7 +65,7 @@ def sharded_dcsweep(cc: CompiledCircuit, sweep, params=None, *, mesh=None,
     key = ("sharded_dcsweep", tuple(sorted(table)), n_dev)
     if key not in cc.cache:
         solver = make_dc_solver(cc)
-        cc.cache[key] = jax.jit(jax.vmap(solver, in_axes=(None, axes, None)))
+        cc.cache[key] = cc.jit(jax.vmap(solver, in_axes=(None, axes, None)))
     if x0 is None:
         x0 = jnp.zeros(cc.n, DTYPE)
     dyn = cc.spec.dyn()

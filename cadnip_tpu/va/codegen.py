@@ -118,15 +118,30 @@ def _limexp(x):
     return jnp.exp(xc) * (1.0 + jnp.maximum(x - 80.0, 0.0))
 
 
+def _cse_key(v):
+    """Identity key for a CSE operand: python numbers by value, traced
+    values by object id (the id is pinned alive by storing the operand in
+    the cache entry, so recycling cannot alias)."""
+    if isinstance(v, (int, float, bool)):
+        return ("c", float(v))
+    return id(v)
+
+
 class _Env:
     """Interpreter state for one evaluation of the analog block."""
 
     __slots__ = ("vars", "contrib", "mask", "noise_acc", "compiler",
                  "lim_w", "lim_d", "lim_rec", "lim_vnew", "lim_wsite",
-                 "vmask", "ddx_vals", "ddx_recording", "delay_rec")
+                 "vmask", "ddx_vals", "ddx_recording", "delay_rec", "cse")
 
     def __init__(self, compiler, n_local):
         self.vars = {}
+        # trace-time value-numbering cache for pure math ops: evaluating
+        # BOTH branches of every `if` re-derives shared subexpressions on
+        # identical operand objects; keying on operand identity dedups them
+        # before they reach the jaxpr (operands are pinned in the value so
+        # ids cannot be recycled). Cuts big-model graphs 20-40%.
+        self.cse = {}
         self.contrib = jnp.zeros(n_local)
         self.mask = 1.0            # product of enclosing if-conditions
         self.noise_acc = []        # [(site_id, psd_value, exponent)]
@@ -227,6 +242,17 @@ class VACompiler:
         # for PSP-class models this removes the bulk of the traced graph
         # from every Newton tangent pass
         self.setup_stmts, self.runtime_stmts = self._split_setup()
+        # host-setup hoisting (the reference's temp/geometry precompute vs
+        # load split, e.g. DIOtempUpdate/DIOload; PSP103's setup pass is
+        # ~35k of its ~51k traced ops): for big models the (params, temp)-
+        # only prefix is evaluated EAGERLY on CPU once per solve — outside
+        # jit — and its values enter the residual as a constant vector
+        # p['__setup__']. Small models keep the traced path (no eager
+        # dispatch overhead, identical numerics).
+        self.host_setup_enabled = (
+            self._count_stmts(self.setup_stmts) >= 150)
+        self.setup_keys = None      # resolved on first host_setup call
+        self.setup_static = {}      # string-valued setup vars (static)
         # collapse candidates: V-branches that receive a literal `<+ 0`
         # contribution under (possibly empty) if-guards — decided per
         # parameter signature by decide_collapses()
@@ -445,14 +471,27 @@ class VACompiler:
         return any(self._stmt_has_analog(st, seen) for st in f.body)
 
     def _expr_has_analog(self, e, seen=frozenset()):
+        # "analog" here means "cannot be hoisted into the once-per-solve
+        # setup pass": access functions, ddt/noise/$limit, and anything that
+        # reads in-solve dynamic state ($abstime, $simparam's gmin/srcfact,
+        # analysis() mode probes — those vary inside homotopy/time loops).
+        # $temperature/$vt stay hoistable: temperature is fixed per solve.
         if not isinstance(e, tuple):
             return False
         if e[0] == "acc":
             return True
-        if e[0] == "sysfn" and e[1] in ("$limit", "$analog_node_alias"):
-            return True
+        if e[0] == "sysfn":
+            if e[1] in ("$limit", "$analog_node_alias", "$abstime"):
+                return True
+            if e[1] == "$simparam":
+                # only gmin/sourceScaleFactor vary INSIDE a solve (homotopy
+                # ladders); scale/tnom/epsmin/... are per-solve constants
+                # and stay hoistable
+                key = (e[2][0][1] if e[2] and e[2][0][0] == "str" else "")
+                if key in ("gmin", "sourceScaleFactor"):
+                    return True
         if e[0] == "call":
-            if e[1] in self._ANALOG_CALLS:
+            if e[1] in self._ANALOG_CALLS or e[1] == "analysis":
                 return True
             if e[1] in self.mod.functions and self._fn_has_analog(e[1],
                                                                   seen):
@@ -562,7 +601,14 @@ class VACompiler:
         contributions) or reads a runtime-written variable; runtime writes
         taint forward. Bare begin/end blocks are split child-by-child;
         control statements are all-or-nothing."""
+        # module-level variables whose INITIALIZER is runtime-classified
+        # ($limit/access/in-solve $simparam) only exist at runtime — any
+        # statement reading them cannot be hoisted
         tainted = set()
+        for nm, vinfo in self.mod.variables.items():
+            init = vinfo[2] if len(vinfo) > 2 else None
+            if init is not None and self._expr_has_analog(init):
+                tainted.add(nm)
 
         def walk(stmts, out_setup, out_runtime):
             for st in stmts:
@@ -742,6 +788,69 @@ class VACompiler:
             self._exec(st, env, None, p, dyn, eff, 0.0)
         return env.vars
 
+    def _count_stmts(self, stmts):
+        n = 0
+        for st in stmts:
+            n += 1
+            for kind, part in self._walk_stmt_parts(st):
+                if kind == "stmt":
+                    n += self._count_stmts([part])
+        return n
+
+    def host_setup(self, p, dyn):
+        """Eager (CPU) evaluation of effective params + the setup pass for
+        a whole instance group: p maps param names to [n_inst] (or
+        [batch, n_inst]) CONCRETE arrays. Returns the [..., n_inst, K]
+        setup-value matrix matching `self.setup_keys`. All elementwise, so
+        one pass broadcasts over every instance — the vectorized analogue
+        of the reference's per-instance temp-update functions."""
+        import jax as _jax
+        cpu = _jax.devices("cpu")[0]
+        dyn = _jax.device_put(dyn, cpu)
+        p = {k: np.asarray(v) for k, v in p.items() if k != "__setup__"}
+        shapes = [v.shape for v in p.values() if v.ndim]
+        shape = np.broadcast_shapes(*shapes) if shapes else ()
+        with _jax.default_device(cpu):
+            eff = self.effective_params(p, dyn)
+            sv = self.run_setup(p, dyn, eff)
+            merged = dict(eff)
+            merged.update(sv)
+            if self.setup_keys is None:
+                keys, static = [], {}
+                for k, v in merged.items():
+                    if isinstance(v, str):
+                        static[k] = v
+                    else:
+                        keys.append(k)
+                self.setup_keys = sorted(keys, key=repr)
+                self.setup_static = static
+            cols = [jnp.broadcast_to(jnp.asarray(merged[k],
+                                                 jnp.float64), shape)
+                    for k in self.setup_keys]
+            out = jnp.stack(cols, axis=-1)
+        return np.asarray(out)
+
+    def _runtime_base(self, u, p, dyn):
+        """(eff, base_vars) for a runtime interpretation pass. When the
+        solver entry precomputed p['__setup__'] (host-setup path), both are
+        read out of that constant vector; otherwise the traced
+        effective-params + setup prefix runs inline (fallback — correct
+        but compiles the full graph)."""
+        if isinstance(p, dict) and "__setup__" in p \
+                and self.setup_keys is not None:
+            vec = p["__setup__"]
+            allv = {k: vec[i] for i, k in enumerate(self.setup_keys)}
+            allv.update(self.setup_static)
+            eff = {nm: allv[nm] for nm in self.mod.parameters
+                   if nm in allv}
+            for alias, tgt in self.mod.aliases.items():
+                if tgt in allv:
+                    eff[alias] = allv[tgt]
+            return eff, allv
+        eff = self.effective_params(p, dyn)
+        sv = self.run_setup(p, dyn, eff)
+        return eff, sv
+
     def _find_noise(self, stmts, branch):
         for st in stmts:
             k = st[0]
@@ -893,8 +1002,7 @@ class VACompiler:
         comp = self
 
         def residual(u, p, dyn):
-            eff = comp.effective_params(p, dyn)
-            sv = comp.run_setup(p, dyn, eff)
+            eff, sv = comp._runtime_base(u, p, dyn)
 
             def block(s):
                 env = _Env(comp, comp.n_local)
@@ -991,8 +1099,7 @@ class VACompiler:
         B = len(self.limit_branches)
 
         def residual_lim(u, d, w, p, dyn):
-            eff = comp.effective_params(p, dyn)
-            sv = comp.run_setup(p, dyn, eff)
+            eff, sv = comp._runtime_base(u, p, dyn)
 
             def block(s):
                 env = _Env(comp, comp.n_local)
@@ -1032,8 +1139,7 @@ class VACompiler:
         S = len(self.delay_sites)
 
         def probe(u, p, dyn):
-            eff = comp.effective_params(p, dyn)
-            sv = comp.run_setup(p, dyn, eff)
+            eff, sv = comp._runtime_base(u, p, dyn)
             env = _Env(comp, comp.n_local)
             env.vars = dict(sv)
             env.delay_rec = {}
@@ -1056,8 +1162,7 @@ class VACompiler:
             return None, ()
 
         def noise_fn(u, p, dyn):
-            eff = comp.effective_params(p, dyn)
-            sv = comp.run_setup(p, dyn, eff)
+            eff, sv = comp._runtime_base(u, p, dyn)
             env = _Env(comp, comp.n_local)
             env.vars = dict(sv)
             if comp.ddx_sites:
@@ -1074,8 +1179,7 @@ class VACompiler:
             return jnp.stack(out_w)
 
         def flicker_fn(u, p, dyn):
-            eff = comp.effective_params(p, dyn)
-            sv = comp.run_setup(p, dyn, eff)
+            eff, sv = comp._runtime_base(u, p, dyn)
             env = _Env(comp, comp.n_local)
             env.vars = dict(sv)
             if comp.ddx_sites:
@@ -1359,6 +1463,15 @@ class VACompiler:
                     else self._host_eval_env(e[3], env, eff))
         raise VACompileError(str(e))
 
+    @staticmethod
+    def _cse(env, key, thunk, pins):
+        hit = env.cse.get(key)
+        if hit is not None:
+            return hit[-1]
+        r = thunk()
+        env.cse[key] = pins + (r,)
+        return r
+
     # ---- expression evaluation (traced)
     def _eval_expr(self, e, env, u, p, dyn, eff, s):
         tag = e[0]
@@ -1383,19 +1496,24 @@ class VACompiler:
         if tag == "un":
             v = self._eval_expr(e[2], env, u, p, dyn, eff, s)
             if e[1] == "-":
-                return -v
+                return self._cse(env, ("u-", _cse_key(v)),
+                                 lambda: -v, (v,))
             if e[1] == "+":
                 return v
-            return jnp.where(v == 0, 1.0, 0.0)
+            return self._cse(env, ("u!", _cse_key(v)),
+                             lambda: jnp.where(v == 0, 1.0, 0.0), (v,))
         if tag == "bin":
             a = self._eval_expr(e[2], env, u, p, dyn, eff, s)
             b = self._eval_expr(e[3], env, u, p, dyn, eff, s)
-            return _traced_binop(e[1], a, b)
+            return self._cse(env, ("b", e[1], _cse_key(a), _cse_key(b)),
+                             lambda: _traced_binop(e[1], a, b), (a, b))
         if tag == "cond":
             c = self._eval_expr(e[1], env, u, p, dyn, eff, s)
             t = self._eval_expr(e[2], env, u, p, dyn, eff, s)
             f = self._eval_expr(e[3], env, u, p, dyn, eff, s)
-            return jnp.where(c != 0, t, f)
+            return self._cse(env, ("c", _cse_key(c), _cse_key(t),
+                                   _cse_key(f)),
+                             lambda: jnp.where(c != 0, t, f), (c, t, f))
         if tag == "call":
             return self._call(e, env, u, p, dyn, eff, s)
         if tag == "sysfn":
@@ -1529,9 +1647,13 @@ class VACompiler:
             return self._user_fn(fn, e[2], env, u, p, dyn, eff, s)
         args = [self._eval_expr(a, env, u, p, dyn, eff, s) for a in e[2]]
         if fn in _F1 and len(args) == 1:
-            return _F1[fn](args[0])
+            a0 = args[0]
+            return self._cse(env, ("f", fn, _cse_key(a0)),
+                             lambda: _F1[fn](a0), (a0,))
         if fn in _F2 and len(args) == 2:
-            return _F2[fn](*args)
+            a0, a1 = args
+            return self._cse(env, ("f2", fn, _cse_key(a0), _cse_key(a1)),
+                             lambda: _F2[fn](a0, a1), (a0, a1))
         if fn == "analysis":
             kind = e[2][0][1] if e[2] and e[2][0][0] == "str" else ""
             if kind in ("static", "dc"):
@@ -1615,6 +1737,7 @@ class VACompiler:
         sub.mask = env.mask
         sub.contrib = env.contrib
         sub.noise_acc = env.noise_acc
+        sub.cse = env.cse
         sub.lim_w, sub.lim_d = env.lim_w, env.lim_d
         sub.lim_rec, sub.lim_vnew, sub.lim_wsite = (env.lim_rec,
                                                     env.lim_vnew,
@@ -2022,8 +2145,7 @@ def compile_va_module(mod: VAModule, include_dirs=(),
     opvars_fn = None
     if op_names:
         def opvars_fn(u, p, dyn):
-            eff = comp.effective_params(p, dyn)
-            sv = comp.run_setup(p, dyn, eff)
+            eff, sv = comp._runtime_base(u, p, dyn)
             env = _Env(comp, comp.n_local)
             env.vars = dict(sv)
             if comp.ddx_sites:
@@ -2054,6 +2176,7 @@ def compile_va_module(mod: VAModule, include_dirs=(),
         n_delay_sites=len(comp.delay_sites),
         delay_probe=comp.make_delay_probe(),
         collapses=tuple(sorted(collapses, key=str)),
+        va_setup=comp.host_setup if comp.host_setup_enabled else None,
     )
     if not collapsed and comp.collapse_cands:
         # per-parameter-signature specialization, cached by collapse set
