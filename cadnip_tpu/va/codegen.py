@@ -2101,14 +2101,17 @@ def inline_hierarchy(mod: VAModule, lib: dict) -> VAModule:
 # public API
 
 def compile_va_module(mod: VAModule, include_dirs=(),
-                      collapsed=()) -> DeviceModel:
+                      collapsed=(), _specialize=True) -> DeviceModel:
     """VAModule -> DeviceModel (the `make_mna_device` analogue).
 
     `collapsed`: branch keys taking the `V(a,b) <+ 0` short-circuit path
     for this parameter signature (reference detect_short_circuits,
     `src/vasim.jl:2723`). The base model (collapsed=()) carries a
     `va_specialize` callback when candidates exist; the frontend calls it
-    with each instance's parameter overrides."""
+    with each instance's parameter overrides. For big (host-setup) models
+    specialization also PRUNES parameter-static branches (va/prune.py) —
+    the untaken sides of SWGIDL/SWJUNCAP/NQS-class switches never enter
+    the traced graph."""
     comp = VACompiler(mod, include_dirs=include_dirs, collapsed=collapsed)
     # node-merge alias table for the elaborator: collapsed internal ->
     # target (terminal / other internal / None=ground)
@@ -2178,19 +2181,46 @@ def compile_va_module(mod: VAModule, include_dirs=(),
         collapses=tuple(sorted(collapses, key=str)),
         va_setup=comp.host_setup if comp.host_setup_enabled else None,
     )
-    if not collapsed and comp.collapse_cands:
-        # per-parameter-signature specialization, cached by collapse set
-        cell = {(): model}
+    if _specialize and not collapsed and (comp.collapse_cands
+                                          or comp.host_setup_enabled):
+        # per-parameter-signature specialization: static branch pruning
+        # (big models) + node collapse, cached by (prune, collapse) keys
+        by_sig = {}
+        cell = {}
 
         def va_specialize(overrides):
-            keys = comp.decide_collapses(overrides)
-            if keys not in cell:
-                cell[keys] = compile_va_module(mod, include_dirs,
-                                               collapsed=keys)
-            return cell[keys]
+            overrides = overrides or {}
+            try:
+                sig_key = tuple(sorted(
+                    (k, float(v)) for k, v in overrides.items()))
+            except Exception:
+                sig_key = None
+            if sig_key is not None and sig_key in by_sig:
+                return by_sig[sig_key]
+            mod_p, psig = (mod, "")
+            if comp.host_setup_enabled:
+                from .prune import prune_module
+                mod_p, psig = prune_module(mod, overrides)
+            if mod_p is mod:
+                keys = comp.decide_collapses(overrides)
+                ck = ("", keys)
+                if ck not in cell:
+                    cell[ck] = (model if not keys else compile_va_module(
+                        mod, include_dirs, collapsed=keys,
+                        _specialize=False))
+            else:
+                comp_p = VACompiler(mod_p, include_dirs=include_dirs)
+                keys = comp_p.decide_collapses(overrides)
+                ck = (psig, keys)
+                if ck not in cell:
+                    cell[ck] = compile_va_module(
+                        mod_p, include_dirs, collapsed=keys,
+                        _specialize=False)
+            if sig_key is not None:
+                by_sig[sig_key] = cell[ck]
+            return cell[ck]
 
         model = dataclasses.replace(model, va_specialize=va_specialize)
-        cell[()] = model
     return model
 
 
