@@ -1139,12 +1139,15 @@ def _make_bsource_model(name, ast, is_v, scope, flat_node, out_nodes,
 
 def elaborate_netlist(source, *, include_dirs=(), section=None,
                       spec: SimSpec | None = None, title=None,
-                      dialect="auto", rng=None):
+                      dialect="auto", rng=None, hdl=()):
     """SPICE/Spectre text (or a parsed Netlist) -> (Circuit, Elaborator).
 
     The Elaborator carries the parsed analysis cards, .options and .temp.
     dialect: 'spice' | 'spectre' | 'auto' (detects `simulator
     lang=spectre` / paren-style instance lines).
+    hdl: Verilog-A file paths preloaded into the root scope — the
+    programmatic equivalent of a `.hdl` card / ngspice's `pre_osdi`
+    (model cards may then reference the modules by name).
     """
     if isinstance(source, Netlist):
         nl = source
@@ -1159,6 +1162,11 @@ def elaborate_netlist(source, *, include_dirs=(), section=None,
     el = Elaborator(include_dirs=include_dirs, section=section,
                     dialect=dialect, rng=rng)
     root = Scope()
+    if hdl:
+        from ..va.codegen import load_va_file
+        for path in ([hdl] if isinstance(hdl, str) else hdl):
+            for name, model in load_va_file(path).items():
+                root.va_modules[name.lower()] = model
     elements = el.collect(nl.cards, root)
     el.eval_params(root)
     el.cir = Circuit(title or nl.title or "netlist")
@@ -1198,12 +1206,12 @@ def spice_spec(el: Elaborator, base: SimSpec | None = None) -> SimSpec:
 
 
 def parse_spice(source, *, include_dirs=(), section=None,
-                spec: SimSpec | None = None, compile=True):
+                spec: SimSpec | None = None, compile=True, hdl=()):
     """SPICE netlist text -> CompiledCircuit (or Circuit if compile=False).
 
     The `sp\"...\"` analogue (reference `src/spc/interface.jl:181-215`)."""
     cir, el = elaborate_netlist(source, include_dirs=include_dirs,
-                                section=section)
+                                section=section, hdl=hdl)
     if not compile:
         return cir
     return cir.compile(spice_spec(el, spec))

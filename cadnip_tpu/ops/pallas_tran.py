@@ -95,15 +95,15 @@ def supported(cc) -> bool:
 class _GroupMeta:
     """Static (host) description of one device group in the kernel."""
 
-    def __init__(self, g):
+    def __init__(self, g, NP):
         self.model = g.model
         self.nl = g.model.n_local
         self.NI = _LANE
+        self.NP = NP
         self.n_inst = g.n_inst
         self.pnames = sorted(g.params)
         self.has_wave = g.waves is not None
         self.limited = g.model.limit is not None
-        NP = _LANE
         S = np.zeros((self.nl * NP, self.NI), np.float32)
         ST = np.zeros((self.nl * self.NI, NP), np.float32)
         for l in range(self.nl):
@@ -207,8 +207,8 @@ def _eval_wave_rows(kinds, W, wrow, t):
     return out[0]      # [NI]
 
 
-def _group_assemble(gm: _GroupMeta, selG, selGT, Pact, wrow, lim_prev,
-                    x_row, t_now, dynk, F, Q, G, C):
+def _group_assemble(gm: _GroupMeta, selG, selGT, Pact, wave_vals,
+                    wdc_row, lim_prev, x_row, dynk, F, Q, G, C):
     """Gather -> (limit) -> residual + row-level linearize -> one-hot
     matmul scatter for one group. Returns updated (F, Q, G, C, lim_new).
     Every scatter matmul stays in standard (M,K)@(K,N) orientation via
@@ -216,7 +216,7 @@ def _group_assemble(gm: _GroupMeta, selG, selGT, Pact, wrow, lim_prev,
     per-iteration relayouts, measured 5.4 ms vs a few us per Newton
     iteration); only the solve and charge-correction products contract
     transposed, once each per iteration."""
-    NP = _LANE
+    NP = gm.NP
     nl = gm.nl
     NI = gm.NI
     model = gm.model
@@ -227,12 +227,6 @@ def _group_assemble(gm: _GroupMeta, selG, selGT, Pact, wrow, lim_prev,
     sels = [selG[l * NP:(l + 1) * NP, :] for l in range(nl)]
     selTs = [selGT[l * NI:(l + 1) * NI, :] for l in range(nl)]
     u = jnp.concatenate([x_row @ sels[l] for l in range(nl)], axis=0)
-
-    wave_vals = None
-    wdc_row = None
-    if gm.has_wave:
-        wave_vals = _eval_wave_rows(gm.kinds, gm.W, wrow, t_now)
-        wdc_row = wrow[2]
 
     pdict = {k: Pact[i] for i, k in enumerate(pnames)}
 
@@ -292,7 +286,7 @@ def _group_assemble(gm: _GroupMeta, selG, selGT, Pact, wrow, lim_prev,
 def _gj_inverse(A, n_real, ghost):
     """In-VMEM Gauss-Jordan inverse with partial pivoting and row
     equilibration; ghost rows (lane >= n) carry identity."""
-    NP = _LANE
+    NP = A.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 2 * NP), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, 2 * NP), 1)
     A = A + ghost
@@ -346,11 +340,15 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
     (xs [n_chunks*rc, NP], stats [1, 128], final [8, NP])."""
     from ..mna.spec import DynSpec
 
-    NP = _LANE
     rc = int(rows_per_chunk)
     wr_ = max(8, int(win_rows))
     n = cc.n
-    gms = [_GroupMeta(g) for g in cc.groups]
+    # sublane dimension sized to the circuit (multiple of 8): every
+    # [NP, *] matrix op costs NP/8 vector registers instead of 16 — the
+    # single biggest lever on the kernel's per-iteration cost (graetz at
+    # NP=8 vs NP=128: the Gauss-Jordan loop alone is ~16x cheaper)
+    NP = max(8, 8 * ((n + 1 + 7) // 8))
+    gms = [_GroupMeta(g, NP) for g in cc.groups]
     NG = len(gms)
 
     # static masks
@@ -464,20 +462,36 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
         # ~5 ms/iter for a [256,128] block)
         xs_ref[:] = jnp.zeros((rc, NP), F32) + x
 
-        def assemble_all(x_row, lim_list, t_now, dynt):
+        def eval_waves(t_now):
+            # waveform values depend only on the trial time: evaluated
+            # once per trial step, not once per Newton iteration
+            out = []
+            for gi, gm in enumerate(gms):
+                if gm.has_wave:
+                    wrow = grp_refs[5 * gi + 3][:]
+                    out.append(_eval_wave_rows(gm.kinds, gm.W, wrow,
+                                               t_now))
+            return tuple(out)
+
+        def assemble_all(x_row, lim_list, wvs, dynt):
             F = jnp.zeros((1, NP), F32)
             Q = jnp.zeros((1, NP), F32)
             G = jnp.zeros((NP, NP), F32)
             C = jnp.zeros((NP, NP), F32)
             lim_out = []
+            wi = 0
             for gi, gm in enumerate(gms):
                 selG = grp_refs[5 * gi][:]
                 selGT = grp_refs[5 * gi + 1][:]
                 Pact = grp_refs[5 * gi + 2][:]
-                wrow = grp_refs[5 * gi + 3][:]
+                wv = wdc = None
+                if gm.has_wave:
+                    wv = wvs[wi]
+                    wdc = grp_refs[5 * gi + 3][2]
+                    wi += 1
                 F, Q, G, C, ln = _group_assemble(
-                    gm, selG, selGT, Pact, wrow, lim_list[gi], x_row,
-                    t_now, dynt, F, Q, G, C)
+                    gm, selG, selGT, Pact, wv, wdc, lim_list[gi], x_row,
+                    dynt, F, Q, G, C)
                 lim_out.append(ln)
             gsh = dynt.gshunt
             F = F + gsh * x_row * vrow
@@ -500,9 +514,10 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
                                         qdot)
             dt1 = jnp.maximum(t - t1, 1e-30)
             xi = jnp.where(naccept >= 1, x + (x - x1) / dt1 * h_eff, x)
-            return (h_eff, t_new, c0, rhs_q, hit_bp, use_be, xi * nrow)
+            return (h_eff, t_new, c0, rhs_q, hit_bp, use_be, xi * nrow,
+                    eval_waves(t_new))
 
-        h_eff, t_new, c0, rhs_q, hit_bp, use_be, xi = setup_trial(
+        (h_eff, t_new, c0, rhs_q, hit_bp, use_be, xi, wvs) = setup_trial(
             t, h, x, x1, t1, qv, qdot, iord, bp_i, naccept)
         it = jnp.int32(0)
 
@@ -510,7 +525,7 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
                   t, h, t1, t2, h_eff, t_new, c0,
                   hit_bp, use_be, it, iord, bp_i, si,
                   naccept, nreject, nnewton, nsteps, nrej_run, hold,
-                  fail, lims, limaccs)
+                  fail, lims, limaccs, wvs)
 
         def cond(cs):
             return ((cs[8] < chunk_t_last - 0.01 * dt_save)
@@ -521,9 +536,9 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
             (x, x1, x2, qv, q1, qdot, xi, rhs_q, t, h, t1, t2, h_eff,
              t_new, c0, hit_bp, use_be, it, iord, bp_i, si, naccept,
              nreject, nnewton, nsteps, nrej_run, hold, fail,
-             lims, limaccs) = cs
+             lims, limaccs, wvs) = cs
             dynt = dynk._replace(time=t_new)
-            F, Q, G, C, lim_new = assemble_all(xi, lims, t_new, dynt)
+            F, Q, G, C, lim_new = assemble_all(xi, lims, wvs, dynt)
             Ft = (F + c0 * Q - rhs_q) * nrow
             # row-pivoted GJ on J itself (column pivoting via J^T loses
             # the diode turn-on moments in f32); the one transposed
@@ -646,8 +661,11 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
                                     jnp.where(newton_done, la, ln))
                           for ln, la in zip(lim_new, limaccs))
 
-            (h_eff2, t_new2, c02, rhs_q2, hit2, be2, xi2) = setup_trial(
-                tB, hB, xB, x1B, t1B, qB, qdB, iordB, bpB, naB)
+            (h_eff2, t_new2, c02, rhs_q2, hit2, be2, xi2,
+             wvs2) = setup_trial(tB, hB, xB, x1B, t1B, qB, qdB, iordB,
+                                 bpB, naB)
+            wvsB = tuple(jnp.where(newton_done, w2, w0)
+                         for w2, w0 in zip(wvs2, wvs))
             h_effB = jnp.where(newton_done, h_eff2, h_eff)
             t_newB = jnp.where(newton_done, t_new2, t_new)
             c0B = jnp.where(newton_done, c02, c0)
@@ -660,12 +678,13 @@ def make_kernel(cc, rows_per_chunk: int, nb_pad: int,
             return (xB, x1B, x2B, qB, q1B, qdB, xiB, rhs_qB, tB, hB, t1B,
                     t2B, h_effB, t_newB, c0B, hitB, beB, itB, iordB, bpB,
                     siB, naB, nrB, nnB, nsB, nrrB, holdB, failB,
-                    lims2, lims_acc2)
+                    lims2, lims_acc2, wvsB)
 
         out = jax.lax.while_loop(cond, body, carry0)
         (x, x1, x2, qv, q1, qdot, xi, rhs_q, t, h, t1, t2, h_eff, t_new,
          c0, hit_bp, use_be, it, iord, bp_i, si, naccept, nreject,
-         nnewton, nsteps, nrej_run, hold, fail, lims, limaccs) = out
+         nnewton, nsteps, nrej_run, hold, fail, lims, limaccs,
+         wvs) = out
 
         srows_ref[0:1, :] = x
         srows_ref[1:2, :] = x1
@@ -799,8 +818,8 @@ def vmem_tran(cc, tspan, *, dt=None, dtmax=None, n_save=None,
     bp_row = np.full((1, nb_pad), tstop, np.float32)
     bp_row[0, :len(bp)] = bp
 
-    NP = _LANE
     n = cc.n
+    NP = max(8, 8 * ((n + 1 + 7) // 8))
 
     def row(v, length=NP):
         r = np.zeros((1, length), np.float32)

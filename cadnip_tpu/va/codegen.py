@@ -594,13 +594,25 @@ class VACompiler:
             for _, s in st[2]:
                 self._stmt_writes(s, out)
 
+    def _stmt_reads(self, st, out):
+        for kind, part in self._walk_stmt_parts(st):
+            if kind == "stmt":
+                self._stmt_reads(part, out)
+            else:
+                self._expr_names(part, out)
+
     def _split_setup(self):
         """Forward single-pass classification of the analog block into
         (setup, runtime) statement lists. A statement is setup iff nothing
         inside it touches analog state (access functions, ddt/noise/$limit,
-        contributions) or reads a runtime-written variable; runtime writes
-        taint forward. Bare begin/end blocks are split child-by-child;
-        control statements are all-or-nothing."""
+        contributions), reads a runtime-written variable, or WRITES a
+        variable already written or read by a runtime statement (hoisting
+        such a write would reorder it across the runtime sequence — big
+        models reuse scratch names like T0/T1 across both regions, so this
+        last rule is load-bearing: without it a hoisted `T1 = f(cox)`
+        replaces the runtime scratch value a later statement consumes).
+        Bare begin/end blocks are split child-by-child; control statements
+        are all-or-nothing."""
         # module-level variables whose INITIALIZER is runtime-classified
         # ($limit/access/in-solve $simparam) only exist at runtime — any
         # statement reading them cannot be hoisted
@@ -609,6 +621,7 @@ class VACompiler:
             init = vinfo[2] if len(vinfo) > 2 else None
             if init is not None and self._expr_has_analog(init):
                 tainted.add(nm)
+        rt_touched = set()     # vars written OR read by runtime stmts
 
         def walk(stmts, out_setup, out_runtime):
             for st in stmts:
@@ -628,12 +641,17 @@ class VACompiler:
                     if rc:
                         out_runtime.append(("event", ("block", rc)))
                     continue
+                writes = set()
+                self._stmt_writes(st, writes)
                 if (not self._stmt_has_analog(st)
-                        and not self._stmt_reads_tainted(st, tainted)):
+                        and not self._stmt_reads_tainted(st, tainted)
+                        and not (writes & rt_touched)):
                     out_setup.append(st)
                 else:
                     out_runtime.append(st)
-                    self._stmt_writes(st, tainted)
+                    tainted.update(writes)
+                    rt_touched.update(writes)
+                    self._stmt_reads(st, rt_touched)
 
         setup, runtime = [], []
         walk(self.mod.analog, setup, runtime)

@@ -46,13 +46,23 @@ def _host_call(fn, args):
 
 
 class _Pruner:
-    def __init__(self, mod, eff):
+    def __init__(self, mod, eff, max_folds=None):
         from .codegen import _VA_CONSTANTS, _host_binop
         self.mod = mod
         self.eff = eff                  # host-known effective params
         self.consts = _VA_CONSTANTS
         self.binop = _host_binop
         self.sig = []                   # decision trail, the cache key
+        self.max_folds = max_folds      # debugging: fold only first N
+        self.n_folds = 0
+
+    def _may_fold(self):
+        if self.max_folds is None:
+            return True
+        if self.n_folds >= self.max_folds:
+            return False
+        self.n_folds += 1
+        return True
 
     # ------------------------------------------------------------- expr
     def ev(self, e, known):
@@ -181,6 +191,8 @@ class _Pruner:
             return st
         if k == "if":
             c = self.ev(st[1], known)
+            if c is not _UNK and not self._may_fold():
+                c = _UNK
             if c is not _UNK:
                 taken = st[2] if c != 0 else st[3]
                 self.sig.append("1" if c != 0 else "0")
@@ -207,6 +219,8 @@ class _Pruner:
             return ("if", st[1], then_p, else_p)
         if k == "case":
             sel = self.ev(st[1], known)
+            if sel is not _UNK and not self._may_fold():
+                sel = _UNK
             if sel is not _UNK:
                 matches_known = True
                 chosen = None
@@ -385,14 +399,17 @@ class _NetWalker:
                     self._expr(x)
 
 
-def prune_module(mod, overrides):
+def prune_module(mod, overrides, max_folds=None):
     """Partially evaluate `mod` against one parameter signature.
 
     Returns (pruned VAModule or the original, signature string). The
     signature encodes every guard decision in walk order, so two override
     sets with identical decisions share one compiled model."""
+    import os
+    if os.environ.get("CADNIP_NO_PRUNE", "") == "1":
+        return mod, ""
     eff, givens = _effective_host_params(mod, overrides)
-    pr = _Pruner(mod, eff)
+    pr = _Pruner(mod, eff, max_folds=max_folds)
     pr.givens = givens
     known = {}
     # module-level initializers seed host knowledge (`real x = 2;`)
