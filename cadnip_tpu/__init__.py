@@ -25,6 +25,7 @@ from .analyses.sweeps import (  # noqa: E402
 from .analyses.sensitivity import dc_sensitivity  # noqa: E402
 from .frontend.elaborate import (  # noqa: E402
     parse_spice, simulate, circuit_from_file, register_pdk)
+from .frontend.netlist import alter_text  # noqa: E402
 from .frontend.introspect import (  # noqa: E402
     find, op_table, query, summary)
 
@@ -38,6 +39,7 @@ __all__ = [
     "Sweep", "ProductSweep", "TandemSweep", "SerialSweep",
     "dcsweep", "transweep", "montecarlo_table", "dc_sensitivity",
     "parse_spice", "simulate", "circuit_from_file", "register_pdk",
+    "alter_text",
     "find", "op_table", "query", "summary",
 ]
 

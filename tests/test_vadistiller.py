@@ -35,6 +35,10 @@ def _given(kw):
     return kw
 
 
+@pytest.mark.skipif(os.environ.get("CADNIP_INTEGRATION", "") != "1",
+                    reason="integration group: compiles all 16 models "
+                           "(BSIM3/BSIM4-scale; keeps the core suite in "
+                           "minutes)")
 def test_all_sixteen_models_compile():
     names = sorted(os.path.basename(f)[:-3]
                    for f in glob.glob(os.path.join(VA_DIR, "*.va")))
