@@ -132,11 +132,12 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
     params = ensure_setup(cc, params, dyn)
     r = _get_dc_solver(cc)(x0, params, dyn)
     if rescue and not np.asarray(r.converged).all():
-        key = "dc_ptran_rescue"
-        if key not in cc.cache:
-            from ..mna.newton import make_ptran_rescue
-            cc.cache[key] = cc.jit(make_ptran_rescue(cc))
-        r2 = cc.cache[key](x0, params, dyn)
+        big = any(g.model.va_setup is not None for g in cc.groups)
+        batched = np.asarray(r.converged).ndim > 0
+        if big and not batched:
+            r2 = _ptran_rescue_host(cc, x0, params, dyn)
+        else:
+            r2 = _fused_rescue(cc, x0, params, dyn)
         take = jnp.asarray(r2.converged)
         r = type(r)(x=jnp.where(take, r2.x, r.x),
                     converged=r.converged | r2.converged,
@@ -144,6 +145,57 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
                     resnorm=jnp.where(take, r2.resnorm, r.resnorm))
     return DCSolution(cc, r.x, r.converged, r.iters, r.resnorm,
                       params=params)
+
+
+def _fused_rescue(cc, x0, params, dyn):
+    """The one-jit pseudo-transient rescue scan (small circuits; vmapped
+    sweeps use it too since the host loop cannot branch per lane)."""
+    key = "dc_ptran_rescue"
+    if key not in cc.cache:
+        from ..mna.newton import make_ptran_rescue
+        cc.cache[key] = cc.jit(make_ptran_rescue(cc))
+    return cc.cache[key](x0, params, dyn)
+
+
+def _ptran_rescue_host(cc, x0, params, dyn, n_steps=15, h0=1e-12,
+                       h1=1e3):
+    """Host-driven pseudo-transient rescue for big-model circuits: the
+    fused rescue scan's single XLA module (tran-newton + final newton +
+    rhs in one graph) OOM-kills the remote TPU compile helper for
+    PSP-class circuits. Here each piece jits separately — the largest
+    module is one tran-newton body — and the final confirmation reuses
+    the ALREADY-COMPILED dc solver. Same math as make_ptran_rescue
+    (reference PseudoTransient tier, `src/mna/solve.jl:463-527`)."""
+    from ..mna.assemble import make_assembler, make_rhs_assembler, \
+        pad_state
+    from ..mna.newton import make_tran_newton
+    key = "rescue_parts"
+    if key not in cc.cache:
+        assemble = make_assembler(cc) if cc.bbd is None else None
+        newton_t = make_tran_newton(cc, assemble=assemble)
+        if assemble is None:
+            from ..mna.newton import _make_assemble_solve
+            assemble, _, _ = _make_assemble_solve(cc, None, None)
+        rhs = make_rhs_assembler(cc)
+        cc.cache[key] = (
+            cc.jit(newton_t),
+            cc.jit(lambda x: assemble.init_lim(pad_state(x))),
+            cc.jit(lambda x, p, d: rhs(pad_state(x), p, d)))
+    newton_t, init_lim, rhsj = cc.cache[key]
+    x = jnp.asarray(x0, DTYPE)
+    lim = init_lim(x)
+    _, q = rhsj(x, params, dyn)
+    iters = 0
+    for h in np.geomspace(h0, h1, n_steps):
+        rr = newton_t(x, lim, params, dyn,
+                      jnp.asarray(1.0 / h, DTYPE), q / h)
+        iters += int(np.asarray(rr.iters))
+        if bool(np.asarray(rr.converged)) and \
+                bool(np.isfinite(np.asarray(rr.x)).all()):
+            x, lim, q = rr.x, rr.lim, rr.q
+    r = _get_dc_solver(cc)(x, params, dyn)
+    return type(r)(x=r.x, converged=r.converged,
+                   iters=r.iters + jnp.int32(iters), resnorm=r.resnorm)
 
 
 def op_tran(cc: CompiledCircuit, params=None, x0=None,

@@ -253,6 +253,7 @@ class VACompiler:
             self._count_stmts(self.setup_stmts) >= 150)
         self.setup_keys = None      # resolved on first host_setup call
         self.setup_static = {}      # string-valued setup vars (static)
+        self._setup_jits = {}       # shape -> compiled CPU setup fn
         # collapse candidates: V-branches that receive a literal `<+ 0`
         # contribution under (possibly empty) if-guards — decided per
         # parameter signature by decide_collapses()
@@ -745,6 +746,14 @@ class VACompiler:
         `src/mna/solve.jl:1793`; here structure is fixed at elaboration)."""
         if not self.collapse_cands:
             return ()
+        import jax as _jax
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            return self._decide_collapses_cpu(overrides)
+
+    def _decide_collapses_cpu(self, overrides=None):
+        # eager evaluation pinned to CPU: on the axon backend every eager
+        # op is a remote roundtrip — a PSP-class guard evaluation would
+        # take minutes through the tunnel
         p = dict(self._ndefaults)
         if overrides:
             for k, v in overrides.items():
@@ -816,36 +825,48 @@ class VACompiler:
         return n
 
     def host_setup(self, p, dyn):
-        """Eager (CPU) evaluation of effective params + the setup pass for
-        a whole instance group: p maps param names to [n_inst] (or
-        [batch, n_inst]) CONCRETE arrays. Returns the [..., n_inst, K]
+        """Host (CPU-jitted) evaluation of effective params + the setup
+        pass for a whole instance group: p maps param names to [n_inst]
+        (or [batch, n_inst]) CONCRETE arrays. Returns the [..., n_inst, K]
         setup-value matrix matching `self.setup_keys`. All elementwise, so
         one pass broadcasts over every instance — the vectorized analogue
-        of the reference's per-instance temp-update functions."""
+        of the reference's per-instance temp-update functions. The whole
+        pass is ONE XLA:CPU executable (cached per batch shape and in the
+        persistent compile cache): eager per-op dispatch costs ~10 ms/op
+        in an axon-backend process, which made a PSP setup take minutes."""
         import jax as _jax
         cpu = _jax.devices("cpu")[0]
         dyn = _jax.device_put(dyn, cpu)
         p = {k: np.asarray(v) for k, v in p.items() if k != "__setup__"}
         shapes = [v.shape for v in p.values() if v.ndim]
         shape = np.broadcast_shapes(*shapes) if shapes else ()
+        comp = self
+        fn = self._setup_jits.get(shape)
+        if fn is None:
+            def setup_fn(p, dyn):
+                eff = comp.effective_params(p, dyn)
+                sv = comp.run_setup(p, dyn, eff)
+                merged = dict(eff)
+                merged.update(sv)
+                if comp.setup_keys is None:
+                    keys, static = [], {}
+                    for k, v in merged.items():
+                        if isinstance(v, str):
+                            static[k] = v
+                        else:
+                            keys.append(k)
+                    comp.setup_keys = sorted(keys, key=repr)
+                    comp.setup_static = static
+                cols = [jnp.broadcast_to(
+                    jnp.asarray(merged[k], jnp.float64), shape)
+                    for k in comp.setup_keys]
+                return jnp.stack(cols, axis=-1)
+
+            fn = _jax.jit(setup_fn, compiler_options={
+                "xla_disable_hlo_passes": "fusion"})
+            self._setup_jits[shape] = fn
         with _jax.default_device(cpu):
-            eff = self.effective_params(p, dyn)
-            sv = self.run_setup(p, dyn, eff)
-            merged = dict(eff)
-            merged.update(sv)
-            if self.setup_keys is None:
-                keys, static = [], {}
-                for k, v in merged.items():
-                    if isinstance(v, str):
-                        static[k] = v
-                    else:
-                        keys.append(k)
-                self.setup_keys = sorted(keys, key=repr)
-                self.setup_static = static
-            cols = [jnp.broadcast_to(jnp.asarray(merged[k],
-                                                 jnp.float64), shape)
-                    for k in self.setup_keys]
-            out = jnp.stack(cols, axis=-1)
+            out = fn(p, dyn)
         return np.asarray(out)
 
     def _runtime_base(self, u, p, dyn):
