@@ -660,7 +660,11 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
                                    in_axes=(0, 0, _vmap_axes, None, None,
                                             None, None, None, None, None,
                                             None))
-        cc.cache[key] = (cc.jit(full), cc.jit(full_resume))
+        # resume compiles LAZILY: it is a second full-size module (the
+        # whole runner again) and is only needed when a run actually
+        # pauses — on the remote TPU compile helper that second compile
+        # costs as much as the first
+        cc.cache[key] = (cc.jit(full), [cc.jit, full_resume, None])
 
     dyn0 = cc.spec.dyn(mode=MODE_TRAN, time=t0)
     # hmin floor: below ~1e-5*dt the trapezoidal system G + (2/h)C becomes
@@ -668,7 +672,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     # h that small carries no information anyway (SPICE delmin in spirit)
     hmin = max((tstop - t0) * 1e-12, dt * 1e-5, 1e-18)
     h0 = min(dt / 10.0, dtmax)
-    run_jit, resume_jit = cc.cache[key]
+    run_jit, resume_cell = cc.cache[key]
     args = (params, dyn0, jnp.asarray(t0, DTYPE), jnp.asarray(tstop, DTYPE),
             jnp.asarray(h0, DTYPE), jnp.asarray(dtmax, DTYPE),
             jnp.asarray(hmin, DTYPE), jnp.asarray(bp, DTYPE), save_ts)
@@ -683,7 +687,9 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
                     | (np.asarray(st["si"]) >= n_save))
             if np.all(done):
                 break
-            out = resume_jit(st, x0, *args)
+            if resume_cell[2] is None:
+                resume_cell[2] = resume_cell[0](resume_cell[1])
+            out = resume_cell[2](st, x0, *args)
             st = out[-1]
     if trace:
         xs, stats, tr = out[0], out[1], out[2]

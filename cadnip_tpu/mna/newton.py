@@ -54,6 +54,14 @@ def _make_assemble_solve(cc: CompiledCircuit, assemble, method):
     matvec(M_repr, v) applies a matrix in the backend representation —
     for both the dense and the block-bordered-diagonal forms."""
     method = method or solve_method_for_backend()
+    if method == "auto" and jax.default_backend() != "cpu" and \
+            any(g.model.va_setup is not None for g in cc.groups):
+        # PSP/BSIM-class Jacobians mix ~1e-3-ohm access-resistance rows
+        # with 1e-12-S gmin entries; the f32 Gauss-Jordan inverse +
+        # refinement path loses them (measured: the PSP103 ring Newton
+        # walks to NaN on TPU while CPU f64 LU converges in 4 iters).
+        # Use the unrolled full-f64 gauss solve for these circuits.
+        method = "gauss"
     if cc.bbd is not None:
         from ..ops.bbd import bbd_matvec, make_bbd_solver
         from .bbd_assemble import make_bbd_assembler

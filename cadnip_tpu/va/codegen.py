@@ -862,8 +862,10 @@ class VACompiler:
                     for k in comp.setup_keys]
                 return jnp.stack(cols, axis=-1)
 
-            fn = _jax.jit(setup_fn, compiler_options={
-                "xla_disable_hlo_passes": "fusion"})
+            # plain jit: the (pruned) setup graph is small enough for the
+            # fusion pass, and disabling it makes XLA:CPU emit thousands
+            # of individual thunks (measured 591 s vs 19 s to compile)
+            fn = _jax.jit(setup_fn)
             self._setup_jits[shape] = fn
         with _jax.default_device(cpu):
             out = fn(p, dyn)
