@@ -1,0 +1,238 @@
+"""Parallel-in-time transient: window Newton over batched timepoints.
+
+The serial integrators (XLA while_loop runner in `tran.py`, the Mosaic
+VMEM kernel in `ops/pallas_tran.py`) pay per-Newton-iteration dispatch
+latency that no amount of kernel fusion removes: a ~20-unknown circuit
+costs ~300-500 us per iteration on TPU, so the VACASK-class serial
+benchmarks (~1M timepoints of a tiny nonlinear circuit,
+`/root/reference/benchmarks/vacask/README.md:41-72`) land orders of
+magnitude off the reference's CPU wall clocks. This module removes the
+serial bottleneck instead of shaving it: fixed-step trapezoidal
+integration solved as a SEQUENCE OF WINDOWS, each window's W timepoints
+Newton-iterated SIMULTANEOUSLY.
+
+Formulation (charge-based, same devices/assembler as the serial runner):
+with qdot_k the state derivative at step k, the trapezoidal recursion
+  q_k - q_{k-1} = h/2 (qdot_k + qdot_{k-1}),   F_k + qdot_k = 0
+eliminates qdot exactly into the window system
+  R_1 = F_1 + c0 (Q_1 - Q_0) - qdot_0                 (carry-in)
+  R_k = F_k + F_{k-1} + c0 (Q_k - Q_{k-1}) = 0,  k = 2..W
+with c0 = 2/h. Its Jacobian is block lower-bidiagonal:
+  D_k = G_k + c0 C_k,     L_k = G_{k-1} - c0 C_{k-1}
+so one Newton update solves  D_k dx_k = -R_k - L_k dx_{k-1}, i.e. the
+affine recurrence dx_k = M_k dx_{k-1} + c_k with M_k = -D_k^{-1} L_k —
+a parallel prefix (`jax.lax.associative_scan`) of [n, n] affine maps.
+
+Each window-Newton iteration therefore costs ONE batched device
+evaluation over all W points (the residual/Jacobian machinery of
+`mna/assemble.py` under `jax.vmap`), one batched dense solve, and a
+log2(W)-depth scan — the same dispatch count as ONE serial Newton
+iteration, serving W timepoints. Devices, limiting (per-point state
+against the previous window iteration), gshunt, and VA models all come
+through the standard assembler unchanged.
+
+This replaces the reference's Sundials IDA serial stepping (SURVEY
+§2.9) for the fixed-grid regime with a formulation only a batch
+machine can exploit; accuracy is gated by golden RMSE tests against
+the adaptive f64 runner (`tests/test_tran_pit.py`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DTYPE
+from ..mna.assemble import ensure_setup, make_assembler, make_rhs_assembler, \
+    pad_state
+from ..mna.newton import abstol_vector
+from ..mna.spec import MODE_TRAN, MODE_TRANOP
+from ..mna.structure import CompiledCircuit
+from ..ops.linalg import gauss_solve
+from .dc import dc
+from .tran import TranSolution, TranStats
+
+
+def supported(cc: CompiledCircuit) -> bool:
+    """Dense circuits without transport delays; any device class."""
+    if cc.bbd is not None or cc.n > 150:
+        return False
+    for g in cc.groups:
+        if g.model.n_delay_sites:
+            return False
+    return True
+
+
+def _affine_combine(a, b):
+    """Compose affine maps: element k AFTER element k-1."""
+    Ml, cl = a
+    Mr, cr = b
+    return (jnp.einsum("wij,wjk->wik", Mr, Ml),
+            jnp.einsum("wij,wj->wi", Mr, cl) + cr)
+
+
+def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
+                    max_iters: int = 40):
+    """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
+    (xs [n_win*W, n], its [n_win], done [n_win], carry) where carry =
+    (x, Q, qdot, lim) at the last point — the host chains executions of
+    n_win windows each (one long execution faults the axon backend,
+    CLAUDE.md ~45 s pathology)."""
+    assemble = make_assembler(cc)
+    n = cc.n
+    atol = abstol_vector(cc)
+    spec = cc.spec
+    reltol = spec.reltol
+    max_dv = spec.max_dv
+    is_v = jnp.asarray((cc.classes == 0))
+    # KCL-residual acceptance floor: on TPU, f64 emulation computes
+    # transcendentals (exp/log/pow) at f32 accuracy, so device residuals
+    # carry ~5e-8 relative noise; demanding 1e-9*rowscale loops forever
+    res_eps = 1e-9 if jax.default_backend() == "cpu" else 3e-7
+
+    from ..mna.spec import DynSpec
+    dyn_axes = DynSpec(temp=None, time=0, gmin=None, gshunt=None,
+                       srcfact=None, mode=None)
+
+    def vassemble(X, lim, params, dynv):
+        # vmap over the window axis; params broadcast; dyn.time varies
+        return jax.vmap(assemble, in_axes=(0, 0, None, dyn_axes))(
+            X, lim, params, dynv)
+
+    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0):
+        c0 = 2.0 / dt
+
+        def win_body(carry, tw):
+            x_last, Q_last, qd_last, lim_last = carry
+            dynv = dyn0._replace(time=tw)
+            X0 = jnp.broadcast_to(x_last, (W, n))
+            Xp0 = pad_state(X0)
+            lim_init = jax.vmap(assemble.init_lim)(Xp0)
+            F0, Q0, G0, C0, lim1 = vassemble(Xp0, lim_init, params, dynv)
+
+            def cond(c):
+                it, done = c[-2], c[-1]
+                return (~done) & (it < max_iters)
+
+            def body(c):
+                X, F, Q, G, C, lim, it, done = c
+                prevF = jnp.concatenate([-qd_last[None], F[:-1]], 0)
+                prevQ = jnp.concatenate([Q_last[None], Q[:-1]], 0)
+                R = F + prevF + c0 * (Q - prevQ)
+                D = G + c0 * C
+                Lm = jnp.concatenate([
+                    jnp.zeros((1, n, n), DTYPE),
+                    G[:-1] - c0 * C[:-1]], 0)
+                rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
+                sol = jax.vmap(gauss_solve)(D, rhs)
+                M = -sol[..., :n]
+                cvec = -sol[..., n]
+                M = M.at[0].set(jnp.zeros((n, n), DTYPE))
+                _, dx = jax.lax.associative_scan(_affine_combine, (M, cvec))
+                if max_dv > 0:
+                    vstep = jnp.max(
+                        jnp.where(is_v[None, :], jnp.abs(dx), 0.0),
+                        axis=1, keepdims=True)
+                    dx = dx * jnp.minimum(1.0, max_dv
+                                          / jnp.maximum(vstep, 1e-300))
+                Xn = X + dx
+                finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
+                Xn = jnp.where(finite, Xn, X)
+                ok_dx = jnp.abs(dx) <= reltol * jnp.maximum(
+                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]
+                Xpn = pad_state(Xn)
+                Fn, Qn, Gn, Cn, limn = vassemble(Xpn, lim, params, dynv)
+                # residual acceptance: near diode switching instants the
+                # window coupling transports uV-level jitter downstream
+                # faster than the dx test settles; a point whose KCL
+                # residual is already at rounding level is converged
+                # (same two-test design as the serial/VMEM runners)
+                prevFn = jnp.concatenate([-qd_last[None], Fn[:-1]], 0)
+                prevQn = jnp.concatenate([Q_last[None], Qn[:-1]], 0)
+                Rn = Fn + prevFn + c0 * (Qn - prevQn)
+                rowscale = (jnp.abs(Fn) + jnp.abs(prevFn)
+                            + c0 * (jnp.abs(Qn) + jnp.abs(prevQn)))
+                ok_res = jnp.abs(Rn) <= res_eps * rowscale + atol[None, :]
+                conv = jnp.all((ok_dx | ok_res) & finite)
+                return (Xn, Fn, Qn, Gn, Cn, limn, it + 1, conv)
+
+            init = (X0, F0, Q0, G0, C0, lim1, jnp.int32(0),
+                    jnp.asarray(False))
+            X, F, Q, G, C, lim, it, done = jax.lax.while_loop(
+                cond, body, init)
+            qd_new = -F[-1]
+            carry = (X[-1], Q[-1], qd_new, lim[-1])
+            return carry, (X, it, done)
+
+        times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
+                 ).reshape(n_win, W)
+        carry0 = (x0, q0, qd0, lim0)
+        carry, (Xs, its, dones) = jax.lax.scan(win_body, carry0, times)
+        return Xs.reshape(n_win * W, n), its, dones, carry
+
+    return run
+
+
+def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
+             max_iters: int = 40, x0=None, uic: bool = False, ic=None,
+             params=None, windows_per_exec: int = 64):
+    """Fixed-step trapezoidal transient via window-parallel Newton.
+
+    Saves every step: ts = t0 + dt*[0..n_steps]. Same initial-condition
+    semantics as `tran` (DC operating point at t0 in TRANOP mode, or
+    `uic` start from zeros/.ic pins). The run executes in host-chained
+    chunks of `windows_per_exec` windows (bounded single-execution time
+    for the axon backend; also bounds device output memory)."""
+    if not supported(cc):
+        raise ValueError("circuit not supported by the PIT runner")
+    spec = cc.spec
+    t0f, tstop = float(tspan[0]), float(tspan[1])
+    n_steps = int(round((tstop - t0f) / dt))
+    W = int(min(window, n_steps))
+    n_win = (n_steps + W - 1) // W
+    n_exec = min(int(windows_per_exec), n_win)
+
+    dyn_op = spec.dyn(mode=MODE_TRANOP, time=t0f)
+    if params is None:
+        params = cc.params0()
+    params = ensure_setup(cc, params, dyn_op)
+
+    op_conv = True
+    if x0 is None:
+        if uic:
+            x0 = jnp.zeros(cc.n, DTYPE)
+        else:
+            op = dc(cc, params, mode=MODE_TRANOP, time=t0f)
+            x0 = op.x
+            op_conv = bool(np.asarray(op.converged))
+    x0 = jnp.asarray(x0, DTYPE)
+    if ic:
+        for node, v in ic.items():
+            x0 = x0.at[cc.index_of(str(node))].set(float(v))
+
+    rhs = make_rhs_assembler(cc)
+    f0, q0 = rhs(pad_state(x0), params, dyn_op)
+    qd0 = -f0
+    assemble = make_assembler(cc)
+    lim0 = assemble.init_lim(pad_state(x0))
+
+    key = ("tran_pit", W, n_exec, max_iters)
+    if key not in cc.cache:
+        run = make_pit_runner(cc, W, n_exec, max_iters)
+        cc.cache[key] = cc.jit(run)
+    run = cc.cache[key]
+    dyn0 = spec.dyn(mode=MODE_TRAN, time=t0f)
+    carry = (x0, q0, qd0, lim0)
+    xs_parts, nn, all_done = [], 0, True
+    for e in range((n_win + n_exec - 1) // n_exec):
+        te = t0f + e * n_exec * W * dt
+        xs_e, its, dones, carry = run(*carry, jnp.asarray(te, DTYPE),
+                                      jnp.asarray(dt, DTYPE), params, dyn0)
+        xs_parts.append(xs_e)
+        nn += int(np.asarray(jnp.sum(its)))
+        all_done = all_done and bool(np.asarray(jnp.all(dones)))
+    xs = jnp.concatenate([x0[None, :]] + xs_parts, 0)[:n_steps + 1]
+    ts = t0f + dt * np.arange(n_steps + 1)
+    stats = TranStats(naccept=jnp.int32(n_steps), nreject=jnp.int32(0),
+                      nnewton=jnp.int32(nn), fail=jnp.asarray(not all_done))
+    return TranSolution(cc, ts, xs, stats, op_converged=op_conv)

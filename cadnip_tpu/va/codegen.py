@@ -867,8 +867,16 @@ class VACompiler:
             # of individual thunks (measured 591 s vs 19 s to compile)
             fn = _jax.jit(setup_fn)
             self._setup_jits[shape] = fn
+        import os as _os
+        import time as _time
+        dbg = _os.environ.get("CADNIP_DEBUG_SETUP") == "1"
+        t0 = _time.time()
         with _jax.default_device(cpu):
             out = fn(p, dyn)
+            out.block_until_ready()
+        if dbg:
+            print(f"[host_setup] {self.mod.name} shape={shape} "
+                  f"{_time.time() - t0:.1f}s", flush=True)
         return np.asarray(out)
 
     def _runtime_base(self, u, p, dyn):
