@@ -71,6 +71,68 @@ def _affine_combine(a, b):
             jnp.einsum("wij,wj->wi", Mr, cl) + cr)
 
 
+def _gj_lanes(D, L, R, n):
+    """Lane-parallel Gauss-Jordan: solve D_k [M_k | c_k] = [L_k | R_k]
+    for every window point k at once, with per-lane partial pivoting.
+
+    D, L: [n, n, W]; R: [n, W]. Returns (M [n, n, W], c [n, W]).
+    Every operation is elementwise over the trailing window axis — the
+    whole elimination fuses into a handful of lane-major TPU kernels
+    (batch-major vmapped solves force tiny [9, 9] matmul tiles and
+    relayouts instead; measured ~4x slower end-to-end)."""
+    W = D.shape[-1]
+    dt_ = D.dtype
+    # row equilibration per lane (f32 robustness across the ~15 decades
+    # a circuit Jacobian spans)
+    rmax = jnp.max(jnp.abs(D), axis=1, keepdims=True)
+    rinv = 1.0 / jnp.maximum(rmax, jnp.asarray(1e-30, dt_))
+    Ab = jnp.concatenate([D * rinv, L * rinv, R[:, None, :] * rinv], axis=1)
+    rows = jnp.arange(n)[:, None]                      # [n, 1]
+    for k in range(n):
+        col = jnp.abs(Ab[:, k, :])                     # [n, W]
+        cand = jnp.where(rows >= k, col, -1.0)
+        p = jnp.argmax(cand, axis=0)                   # [W]
+        ep = (rows == p[None, :])                      # [n, W]
+        rowp = jnp.sum(jnp.where(ep[:, None, :], Ab, 0.0), axis=0)
+        rowk = Ab[k]                                   # [2n+1, W]
+        Ab = jnp.where(ep[:, None, :], rowk[None], Ab)
+        Ab = Ab.at[k].set(rowp)
+        piv = rowp[k]                                  # [W]
+        piv = jnp.where(jnp.abs(piv) > 1e-30, piv,
+                        jnp.asarray(1e-30, dt_))
+        factor = Ab[:, k, :] / piv                     # [n, W]
+        factor = factor.at[k].set(0.0)
+        Ab = Ab - factor[:, None, :] * Ab[k][None]
+    diag = jnp.stack([Ab[i, i, :] for i in range(n)], 0)   # [n, W]
+    diag = jnp.where(jnp.abs(diag) > 1e-30, diag,
+                     jnp.asarray(1e-30, dt_))
+    X = Ab[:, n:, :] / diag[:, None, :]
+    return X[:, :n, :], X[:, n, :]
+
+
+def _scan_lanes(M, c):
+    """Prefix composition of affine maps along the trailing lane axis:
+    returns dx with dx_k = M_k dx_{k-1} + c_k, dx_0in = 0 (so dx = the
+    c-component of the prefix composition). Doubling scan; the n x n
+    compositions are unrolled into lane-elementwise multiply-adds
+    (contracting tiny n dims through dot_general forces batch-minor
+    relayouts and MXU tile padding)."""
+    n, W = c.shape
+    sh = 1
+    while sh < W:
+        # compose with the element sh earlier; shifted-in = identity,
+        # handled by keeping the first sh lanes unchanged
+        ME = jnp.pad(M, ((0, 0), (0, 0), (sh, 0)))[:, :, :W]
+        cE = jnp.pad(c, ((0, 0), (sh, 0)))[:, :W]
+        keep = (jnp.arange(W) < sh)[None, :]
+        Mn = sum(M[:, m, None, :] * ME[None, m, :, :] for m in range(n))
+        cn = jnp.sum(M * cE[None, :, :], axis=1) + c
+        M = jnp.where(keep[None], M, Mn)
+        c = jnp.where(keep, c, cn)
+        sh *= 2
+    return c
+
+
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     max_iters: int = 40):
     """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
@@ -115,7 +177,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 return (~done) & (it < max_iters)
 
             def body(c):
-                X, F, Q, G, C, lim, it, done = c
+                X, F, Q, G, C, lim, active, it, done = c
                 prevF = jnp.concatenate([-qd_last[None], F[:-1]], 0)
                 prevQ = jnp.concatenate([Q_last[None], Q[:-1]], 0)
                 R = F + prevF + c0 * (Q - prevQ)
@@ -125,8 +187,15 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     G[:-1] - c0 * C[:-1]], 0)
                 rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
                 sol = jax.vmap(gauss_solve)(D, rhs)
-                M = -sol[..., :n]
-                cvec = -sol[..., n]
+                # prefix freezing: once every point 0..k has converged,
+                # those points stop moving (their affine elements vanish)
+                # so tolerance-level jitter is not re-injected downstream
+                # — through sharp switching the Newton wavefront then
+                # completes monotonically instead of crawling against
+                # charge-amplified noise (C*dv/h exceeds the 1e-12 A
+                # branch-current abstol for any accepted uV dv upstream)
+                M = -sol[..., :n] * active[:, None, :1]
+                cvec = -sol[..., n] * active
                 M = M.at[0].set(jnp.zeros((n, n), DTYPE))
                 _, dx = jax.lax.associative_scan(_affine_combine, (M, cvec))
                 if max_dv > 0:
@@ -153,12 +222,16 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 rowscale = (jnp.abs(Fn) + jnp.abs(prevFn)
                             + c0 * (jnp.abs(Qn) + jnp.abs(prevQn)))
                 ok_res = jnp.abs(Rn) <= res_eps * rowscale + atol[None, :]
-                conv = jnp.all((ok_dx | ok_res) & finite)
-                return (Xn, Fn, Qn, Gn, Cn, limn, it + 1, conv)
+                okp = (jnp.all(ok_dx | ok_res, axis=1, keepdims=True)
+                       & finite)
+                frozen = jnp.cumprod(okp.astype(DTYPE), axis=0)
+                conv = frozen[-1, 0] > 0.5
+                active_n = 1.0 - frozen
+                return (Xn, Fn, Qn, Gn, Cn, limn, active_n, it + 1, conv)
 
-            init = (X0, F0, Q0, G0, C0, lim1, jnp.int32(0),
-                    jnp.asarray(False))
-            X, F, Q, G, C, lim, it, done = jax.lax.while_loop(
+            init = (X0, F0, Q0, G0, C0, lim1, jnp.ones((W, 1), DTYPE),
+                    jnp.int32(0), jnp.asarray(False))
+            X, F, Q, G, C, lim, active, it, done = jax.lax.while_loop(
                 cond, body, init)
             qd_new = -F[-1]
             carry = (X[-1], Q[-1], qd_new, lim[-1])
