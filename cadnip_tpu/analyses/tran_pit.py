@@ -142,6 +142,12 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     CLAUDE.md ~45 s pathology)."""
     assemble = make_assembler(cc)
     n = cc.n
+    # Lane-major (W-last) linear algebra keeps every elimination and
+    # scan op elementwise over the 1024-wide window axis in TPU lanes;
+    # the batch-major vmapped path pays [n, n] relayouts + MXU padding
+    # per op. The Gauss-Jordan unrolls n steps into the trace, so gate
+    # it to small systems (the VACASK serial circuits are n <= 20).
+    lane_major = n <= 40
     atol = abstol_vector(cc)
     spec = cc.spec
     reltol = spec.reltol
@@ -185,8 +191,6 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 Lm = jnp.concatenate([
                     jnp.zeros((1, n, n), DTYPE),
                     G[:-1] - c0 * C[:-1]], 0)
-                rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
-                sol = jax.vmap(gauss_solve)(D, rhs)
                 # prefix freezing: once every point 0..k has converged,
                 # those points stop moving (their affine elements vanish)
                 # so tolerance-level jitter is not re-injected downstream
@@ -194,10 +198,21 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # completes monotonically instead of crawling against
                 # charge-amplified noise (C*dv/h exceeds the 1e-12 A
                 # branch-current abstol for any accepted uV dv upstream)
-                M = -sol[..., :n] * active[:, None, :1]
-                cvec = -sol[..., n] * active
-                M = M.at[0].set(jnp.zeros((n, n), DTYPE))
-                _, dx = jax.lax.associative_scan(_affine_combine, (M, cvec))
+                if lane_major:
+                    Mg, cg = _gj_lanes(jnp.moveaxis(D, 0, -1),
+                                       jnp.moveaxis(Lm, 0, -1), R.T, n)
+                    gate = active[:, 0] * (jnp.arange(W) > 0)
+                    Ml = -Mg * gate[None, None, :]
+                    cl = -cg * active[:, 0][None, :]
+                    dx = _scan_lanes(Ml, cl).T
+                else:
+                    rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
+                    sol = jax.vmap(gauss_solve)(D, rhs)
+                    M = -sol[..., :n] * active[:, None, :1]
+                    cvec = -sol[..., n] * active
+                    M = M.at[0].set(jnp.zeros((n, n), DTYPE))
+                    _, dx = jax.lax.associative_scan(
+                        _affine_combine, (M, cvec))
                 if max_dv > 0:
                     vstep = jnp.max(
                         jnp.where(is_v[None, :], jnp.abs(dx), 0.0),

@@ -1,0 +1,99 @@
+"""VACASK `ring` benchmark: 9-stage CMOS ring oscillator on PSP 103.4.
+
+Reference: `/root/reference/benchmarks/vacask/ring/vacask/runme.sim`
+(9 inverters w=10u l=1u pfact=2, vdd=1.2 V, a 10 uA / 1 ns current
+pulse into stage 1 to kick the oscillation, `tran step=0.05n stop=1u`)
+with the PSP103 n/p model cards in `models.inc`. VACASK runs it in
+1.18 s, Ngspice 1.60 s, Xyce 3.33 s
+(`/root/reference/benchmarks/vacask/README.md:77-85`).
+
+This module parses the VACASK model cards (simple `model NAME master
+( k=v ... )` blocks) into parameter overrides for the repo's own
+PSP103 compile, applies the inverter-subckt geometry arithmetic
+(`ad=w*ld` etc., runme.sim lines 3-10), and builds the ring with the
+Circuit API. Per-type specialization (va_specialize) prunes the
+untaken SWGEO/SWJUNCAP/NQS branches and collapses the zero-ohm access
+nodes, so both FET polarities become two small vmapped device groups.
+"""
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+from ..mna.structure import Circuit
+from ..mna.waveforms import Pulse
+
+RING_DIR = "/root/reference/benchmarks/vacask/ring/vacask"
+PSP_VA = "/root/reference/models/PSPModels.jl/va/psp103.va"
+
+
+def available() -> bool:
+    return os.path.exists(RING_DIR) and os.path.exists(PSP_VA)
+
+
+def parse_vacask_models(path):
+    """`model <name> <master> ( k=v ... )` blocks -> {name: {k: float}}."""
+    text = open(path).read()
+    text = re.sub(r"//[^\n]*", "", text)
+    out = {}
+    for m in re.finditer(r"\bmodel\s+(\w+)\s+(\w+)\s*\(([^)]*)\)", text):
+        name, _master, body = m.groups()
+        params = {}
+        for kv in re.finditer(r"(\w+)\s*=\s*([-+0-9.eE]+)", body):
+            params[kv.group(1).lower()] = float(kv.group(2))
+        out[name] = params
+    return out
+
+
+def _overrides(model, card, geom):
+    """Map lowercase card params + geometry onto the model's declared
+    (uppercase) parameter names, with __given markers."""
+    by_lower = {k.lower(): k for k in model.defaults}
+    ov = {}
+    for k, v in {**card, **geom}.items():
+        nm = by_lower.get(k.lower())
+        if nm is None:
+            raise KeyError(f"unknown PSP103 parameter {k!r}")
+        ov[nm] = float(v)
+        ov[nm + "__given"] = 1.0
+    return ov
+
+
+_CACHE = {}
+
+
+def ring_devices(w=10e-6, l=1e-6, pfact=2.0, ld=0.5e-6, ls=0.5e-6):
+    """(nmos_model, nmos_params, pmos_model, pmos_params), specialized."""
+    key = (w, l, pfact)
+    if key in _CACHE:
+        return _CACHE[key]
+    from ..va.codegen import load_va_file
+    base = load_va_file(PSP_VA)["PSP103VA"]
+    cards = parse_vacask_models(os.path.join(RING_DIR, "models.inc"))
+
+    def geom(wx):
+        return {"w": wx, "l": l, "as": wx * ls, "ad": wx * ld,
+                "ps": 2 * (wx + ls), "pd": 2 * (wx + ld)}
+
+    ovn = _overrides(base, cards["psp103n"], geom(w))
+    ovp = _overrides(base, cards["psp103p"], geom(w * pfact))
+    mn = base.va_specialize(ovn) if base.va_specialize else base
+    mp = base.va_specialize(ovp) if base.va_specialize else base
+    _CACHE[key] = (mn, ovn, mp, ovp)
+    return _CACHE[key]
+
+
+def ring_circuit(n_stages=9, vdd=1.2, kick=10e-6):
+    """The benchmark circuit; node names '1'..'9' match the reference."""
+    mn, ovn, mp, ovp = ring_devices()
+    c = Circuit(f"{n_stages} stage ring oscillator")
+    c.V("vdd", "vdd", "0", dc=vdd)
+    c.I("i0", "0", "1", wave=Pulse(0.0, kick, td=1e-9, tr=1e-9,
+                                   tf=1e-9, pw=1e-9))
+    for i in range(1, n_stages + 1):
+        a, y = str(i), str(i % n_stages + 1)
+        c.add(mp, f"u{i}.mp", (y, a, "vdd", "vdd"), **ovp)
+        c.add(mn, f"u{i}.mn", (y, a, "0", "0"), **ovn)
+    return c
