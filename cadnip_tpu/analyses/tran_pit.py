@@ -35,6 +35,16 @@ This replaces the reference's Sundials IDA serial stepping (SURVEY
 §2.9) for the fixed-grid regime with a formulation only a batch
 machine can exploit; accuracy is gated by golden RMSE tests against
 the adaptive f64 runner (`tests/test_tran_pit.py`).
+
+All linear algebra stays f64 (emulated on TPU). An f32 solve+scan with
+f64 iterative refinement of the block-bidiagonal system was measured
+(graetz, W=256): the prefix scan composes up to W affine maps whose
+spectral radius is ~1 (slow RC modes), so f32 rounding compounds
+through the composition and the refinement — whose error propagation
+runs through the same f32 scan — is not contractive; the waveform came
+out wrong by tens of volts with every window at max_iters. Don't
+retry plain f32 here; a fix would need an f64 scan (which forfeits
+most of the savings) or a different correction-propagation scheme.
 """
 from __future__ import annotations
 
@@ -148,6 +158,8 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     # per op. The Gauss-Jordan unrolls n steps into the trace, so gate
     # it to small systems (the VACASK serial circuits are n <= 20).
     lane_major = n <= 40
+    import os
+    _fixed_iters = os.environ.get("CADNIP_PIT_FIXED_ITERS", "") == "1"
     atol = abstol_vector(cc)
     spec = cc.spec
     reltol = spec.reltol
@@ -246,8 +258,18 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
 
             init = (X0, F0, Q0, G0, C0, lim1, jnp.ones((W, 1), DTYPE),
                     jnp.int32(0), jnp.asarray(False))
-            X, F, Q, G, C, lim, active, it, done = jax.lax.while_loop(
-                cond, body, init)
+            if _fixed_iters:
+                # fixed-trip loop with a scalar-predicate cond skip:
+                # converged windows fall through the remaining trips on
+                # the cheap identity branch (A/B experiment vs the
+                # dynamic while_loop's scheduling on the axon backend)
+                def fbody(i, c):
+                    return jax.lax.cond(cond(c), body, lambda c_: c_, c)
+                X, F, Q, G, C, lim, active, it, done = jax.lax.fori_loop(
+                    0, max_iters, fbody, init)
+            else:
+                X, F, Q, G, C, lim, active, it, done = jax.lax.while_loop(
+                    cond, body, init)
             qd_new = -F[-1]
             carry = (X[-1], Q[-1], qd_new, lim[-1])
             return carry, (X, it, done)
