@@ -158,8 +158,18 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     # per op. The Gauss-Jordan unrolls n steps into the trace, so gate
     # it to small systems (the VACASK serial circuits are n <= 20).
     lane_major = n <= 40
+    # Loop style. A dynamic while_loop on the axon TPU backend costs
+    # ~25 ms PER TRIP (measured A/B, graetz W=1024: 25.7 vs 16.0 ms/iter
+    # — the trip predicate round-trips through the tunnel); a fixed-trip
+    # fori_loop whose body is skipped behind a scalar lax.cond costs
+    # only the carry copy on skipped trips, which is why the carry below
+    # holds X and the limiter state ONLY (F/Q/G/C are recomputed at the
+    # top of the body — carrying them made even the identity branch copy
+    # ~1.5 MB per skipped trip).
     import os
-    _fixed_iters = os.environ.get("CADNIP_PIT_FIXED_ITERS", "") == "1"
+    _loop = os.environ.get("CADNIP_PIT_LOOP", "")
+    if not _loop:
+        _loop = "while" if jax.default_backend() == "cpu" else "fori"
     atol = abstol_vector(cc)
     spec = cc.spec
     reltol = spec.reltol
@@ -185,20 +195,47 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
         def win_body(carry, tw):
             x_last, Q_last, qd_last, lim_last = carry
             dynv = dyn0._replace(time=tw)
+            # constant seed from the previous window's endpoint. A
+            # linear-extrapolation predictor (seeding point k at
+            # x_last + k*slope) was tried and REVERTED: windows
+            # containing a diode switching instant get seeded deep on
+            # the wrong side of the exponential and window Newton
+            # diverges (graetz window 10, the 10 ms zero-crossing).
+            # The constant seed costs ~1 extra iteration on smooth
+            # windows but converges everywhere.
             X0 = jnp.broadcast_to(x_last, (W, n))
-            Xp0 = pad_state(X0)
-            lim_init = jax.vmap(assemble.init_lim)(Xp0)
-            F0, Q0, G0, C0, lim1 = vassemble(Xp0, lim_init, params, dynv)
+            lim_init = jax.vmap(assemble.init_lim)(pad_state(X0))
 
             def cond(c):
                 it, done = c[-2], c[-1]
                 return (~done) & (it < max_iters)
 
             def body(c):
-                X, F, Q, G, C, lim, active, it, done = c
+                X, lim, ok_dx_prev, it, done = c
+                F, Q, G, C, limn = vassemble(pad_state(X), lim,
+                                             params, dynv)
                 prevF = jnp.concatenate([-qd_last[None], F[:-1]], 0)
                 prevQ = jnp.concatenate([Q_last[None], Q[:-1]], 0)
                 R = F + prevF + c0 * (Q - prevQ)
+                # residual acceptance: near diode switching instants the
+                # window coupling transports uV-level jitter downstream
+                # faster than the dx test settles; a point whose KCL
+                # residual is already at rounding level is converged
+                # (same two-test design as the serial/VMEM runners)
+                rowscale = (jnp.abs(F) + jnp.abs(prevF)
+                            + c0 * (jnp.abs(Q) + jnp.abs(prevQ)))
+                ok_res = jnp.abs(R) <= res_eps * rowscale + atol[None, :]
+                # a point is converged iff the step INTO its current
+                # value was tiny (carried ok_dx) OR its residual HERE is
+                # at rounding level — both tests evaluated at the same
+                # point (pairing ok_dx with the PRE-step residual
+                # livelocks: a point that passes on the old residual
+                # while taking a big step freezes at the moved position,
+                # where dx==0 then keeps ok_dx trivially true)
+                okp = jnp.all(ok_dx_prev | ok_res, axis=1, keepdims=True)
+                frozen = jnp.cumprod(okp.astype(DTYPE), axis=0)
+                conv = frozen[-1, 0] > 0.5
+                active = 1.0 - frozen
                 D = G + c0 * C
                 Lm = jnp.concatenate([
                     jnp.zeros((1, n, n), DTYPE),
@@ -234,44 +271,31 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 Xn = X + dx
                 finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
                 Xn = jnp.where(finite, Xn, X)
-                ok_dx = jnp.abs(dx) <= reltol * jnp.maximum(
-                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]
-                Xpn = pad_state(Xn)
-                Fn, Qn, Gn, Cn, limn = vassemble(Xpn, lim, params, dynv)
-                # residual acceptance: near diode switching instants the
-                # window coupling transports uV-level jitter downstream
-                # faster than the dx test settles; a point whose KCL
-                # residual is already at rounding level is converged
-                # (same two-test design as the serial/VMEM runners)
-                prevFn = jnp.concatenate([-qd_last[None], Fn[:-1]], 0)
-                prevQn = jnp.concatenate([Q_last[None], Qn[:-1]], 0)
-                Rn = Fn + prevFn + c0 * (Qn - prevQn)
-                rowscale = (jnp.abs(Fn) + jnp.abs(prevFn)
-                            + c0 * (jnp.abs(Qn) + jnp.abs(prevQn)))
-                ok_res = jnp.abs(Rn) <= res_eps * rowscale + atol[None, :]
-                okp = (jnp.all(ok_dx | ok_res, axis=1, keepdims=True)
-                       & finite)
-                frozen = jnp.cumprod(okp.astype(DTYPE), axis=0)
-                conv = frozen[-1, 0] > 0.5
-                active_n = 1.0 - frozen
-                return (Xn, Fn, Qn, Gn, Cn, limn, active_n, it + 1, conv)
+                ok_dx = (jnp.abs(dx) <= reltol * jnp.maximum(
+                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) & finite
+                return (Xn, limn, ok_dx, it + 1, conv)
 
-            init = (X0, F0, Q0, G0, C0, lim1, jnp.ones((W, 1), DTYPE),
+            init = (X0, lim_init, jnp.zeros((W, n), bool),
                     jnp.int32(0), jnp.asarray(False))
-            if _fixed_iters:
+            if _loop == "fori":
                 # fixed-trip loop with a scalar-predicate cond skip:
                 # converged windows fall through the remaining trips on
-                # the cheap identity branch (A/B experiment vs the
-                # dynamic while_loop's scheduling on the axon backend)
+                # the (slim-carry) identity branch — the dynamic
+                # while_loop pays ~25 ms per trip on the axon backend
                 def fbody(i, c):
                     return jax.lax.cond(cond(c), body, lambda c_: c_, c)
-                X, F, Q, G, C, lim, active, it, done = jax.lax.fori_loop(
+                X, lim, _, it, done = jax.lax.fori_loop(
                     0, max_iters, fbody, init)
             else:
-                X, F, Q, G, C, lim, active, it, done = jax.lax.while_loop(
+                X, lim, _, it, done = jax.lax.while_loop(
                     cond, body, init)
-            qd_new = -F[-1]
-            carry = (X[-1], Q[-1], qd_new, lim[-1])
+            # carry-out quantities at the window's converged endpoint —
+            # one post-loop assemble so qd/Q come from the same limited
+            # residual path the in-loop Newton used (the raw rhs differs
+            # by ~J*tol near diode switching, enough to poison the next
+            # window's carry-in row R_1)
+            F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
+            carry = (X[-1], Q[-1], -F[-1], lim[-1])
             return carry, (X, it, done)
 
         times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
