@@ -170,6 +170,13 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     _loop = os.environ.get("CADNIP_PIT_LOOP", "")
     if not _loop:
         _loop = "while" if jax.default_backend() == "cpu" else "fori"
+    # CADNIP_PIT_MIXED=1: f32 Newton DIRECTION under the f64 residual.
+    # Measured (graetz, CPU): iterations double (724 -> 1440) and some
+    # switching windows hit max_iters — row equilibration alone leaves
+    # the 9x9 diode Jacobians too ill-conditioned for f32 (kappa 1e6+
+    # swamps eps_f32 before the scan even compounds it). Off by default;
+    # kept as the hook for a future column-equilibrated retry.
+    mixed = os.environ.get("CADNIP_PIT_MIXED", "") == "1"
     atol = abstol_vector(cc)
     spec = cc.spec
     reltol = spec.reltol
@@ -240,6 +247,21 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 Lm = jnp.concatenate([
                     jnp.zeros((1, n, n), DTYPE),
                     G[:-1] - c0 * C[:-1]], 0)
+                # Mixed precision: the RESIDUAL R stays f64 (it defines
+                # the fixed point), but the Newton DIRECTION — GJ
+                # elimination + affine prefix scan — runs in f32, which
+                # the TPU executes natively instead of via ~7x-cost f64
+                # emulation. An f32 direction is an inexact-Newton step:
+                # it perturbs the path, not the answer (convergence is
+                # still judged on the f64 residual/dx). This is NOT the
+                # all-f32 scheme the module docstring rules out — that
+                # one put the f32 error into R itself.
+                if mixed:
+                    D, Lm, Rs = (D.astype(jnp.float32),
+                                 Lm.astype(jnp.float32),
+                                 R.astype(jnp.float32))
+                else:
+                    Rs = R
                 # prefix freezing: once every point 0..k has converged,
                 # those points stop moving (their affine elements vanish)
                 # so tolerance-level jitter is not re-injected downstream
@@ -249,19 +271,21 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # branch-current abstol for any accepted uV dv upstream)
                 if lane_major:
                     Mg, cg = _gj_lanes(jnp.moveaxis(D, 0, -1),
-                                       jnp.moveaxis(Lm, 0, -1), R.T, n)
-                    gate = active[:, 0] * (jnp.arange(W) > 0)
+                                       jnp.moveaxis(Lm, 0, -1), Rs.T, n)
+                    gate = (active[:, 0] * (jnp.arange(W) > 0)
+                            ).astype(Mg.dtype)
                     Ml = -Mg * gate[None, None, :]
-                    cl = -cg * active[:, 0][None, :]
-                    dx = _scan_lanes(Ml, cl).T
+                    cl = -cg * active[:, 0][None, :].astype(cg.dtype)
+                    dx = _scan_lanes(Ml, cl).T.astype(DTYPE)
                 else:
-                    rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
+                    rhs = jnp.concatenate([Lm, Rs[..., None]], axis=-1)
                     sol = jax.vmap(gauss_solve)(D, rhs)
-                    M = -sol[..., :n] * active[:, None, :1]
-                    cvec = -sol[..., n] * active
-                    M = M.at[0].set(jnp.zeros((n, n), DTYPE))
+                    M = -sol[..., :n] * active[:, None, :1].astype(sol.dtype)
+                    cvec = -sol[..., n] * active.astype(sol.dtype)
+                    M = M.at[0].set(jnp.zeros((n, n), M.dtype))
                     _, dx = jax.lax.associative_scan(
                         _affine_combine, (M, cvec))
+                    dx = dx.astype(DTYPE)
                 if max_dv > 0:
                     vstep = jnp.max(
                         jnp.where(is_v[None, :], jnp.abs(dx), 0.0),

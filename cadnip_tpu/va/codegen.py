@@ -176,6 +176,10 @@ class VACompiler:
         self.mod = mod
         self.include_dirs = list(include_dirs)
         self._tables = {}
+        import os
+        self._barrier_every = int(
+            os.environ.get("CADNIP_VA_BARRIER", "0") or 0)
+        self._assign_count = 0
         # node-collapse specialization (reference detect_short_circuits,
         # `src/vasim.jl:2723`): branches in `collapsed` take the
         # `V(a,b) <+ 0` short-circuit path for this parameter signature —
@@ -1282,7 +1286,20 @@ class VACompiler:
             for sub in st[1]:
                 self._exec(sub, env, u, p, dyn, eff, s)
         elif k == "assign":
-            env.vars[st[1]] = self._eval_expr(st[2], env, u, p, dyn, eff, s)
+            val = self._eval_expr(st[2], env, u, p, dyn, eff, s)
+            # CADNIP_VA_BARRIER=K: fence every K-th traced assignment
+            # with lax.optimization_barrier. Big VA models (PSP103) are
+            # clean eagerly on the axon TPU backend but their jitted
+            # Jacobian NaNs — an XLA fusion/reordering pathology over the
+            # ~100k-op graph. Eager execution is the K=1 limit of this
+            # fence; periodic barriers keep the graph in compilable
+            # islands without eager's dispatch cost.
+            be = self._barrier_every
+            if be and isinstance(val, jax.Array):
+                self._assign_count += 1
+                if self._assign_count % be == 0:
+                    val = jax.lax.optimization_barrier(val)
+            env.vars[st[1]] = val
         elif k == "assign_idx":
             # array variables: store under (name, host_index)
             idx = self._try_host(st[2], env, eff)

@@ -243,3 +243,25 @@ endmodule
     cir.add(model, "x1", ("a", "0"))
     sol = dc(cir.compile())
     assert sol.i("v1") == pytest.approx(-2.1 / 2100.0, rel=1e-9)
+
+
+def test_barrier_fencing_preserves_values(monkeypatch):
+    """CADNIP_VA_BARRIER=K fences every K-th traced assignment with
+    lax.optimization_barrier (the axon-TPU big-model fusion workaround);
+    it must be semantically invisible."""
+    import cadnip_tpu as ct
+
+    def solve():
+        model = compile_va(VA_DIODE)["my_diode"]
+        c = Circuit("dio")
+        c.V("vs", "in", "0", dc=1.0)
+        c.R("rs", "in", "a", 1e3)
+        c.add(model, "d1", ("a", "0"))
+        sol = dc(c.compile())
+        assert bool(sol.converged)
+        return float(sol["a"])
+
+    base = solve()
+    monkeypatch.setenv("CADNIP_VA_BARRIER", "3")
+    fenced = solve()
+    assert fenced == pytest.approx(base, rel=0, abs=1e-12)
