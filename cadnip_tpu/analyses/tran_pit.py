@@ -36,17 +36,32 @@ This replaces the reference's Sundials IDA serial stepping (SURVEY
 machine can exploit; accuracy is gated by golden RMSE tests against
 the adaptive f64 runner (`tests/test_tran_pit.py`).
 
-All linear algebra stays f64 (emulated on TPU). An f32 solve+scan with
-f64 iterative refinement of the block-bidiagonal system was measured
-(graetz, W=256): the prefix scan composes up to W affine maps whose
-spectral radius is ~1 (slow RC modes), so f32 rounding compounds
-through the composition and the refinement — whose error propagation
-runs through the same f32 scan — is not contractive; the waveform came
-out wrong by tens of volts with every window at max_iters. Don't
-retry plain f32 here; a fix would need an f64 scan (which forfeits
-most of the savings) or a different correction-propagation scheme.
+Window sizing: Newton from a constant seed needs iterations that GROW
+with the window span (graetz: 7.7 iters at W=1024, 12 at 2048, 26 at
+4096 — corrections crawl through the device limiters), so large windows
+go through a coarse-to-fine seeding ladder (`level_grids`): the window
+is first solved on a subgrid (every r-th point, backward Euler — trap's
+non-L-stable ringing at switching seeds the next level on the wrong
+side of the diode exponential), then each refinement interpolates the
+coarser solution and converges in ~3-4 iterations (the window holding a
+switching onset can need ~60 at one level; budgets stay generous
+because a capped level poisons the carry into every later window).
+
+All linear algebra stays f64 (emulated on TPU). Mixed precision was
+measured three ways and is a dead end — do not retry without a new
+idea: (a) all-f32 solve+scan: f32 rounding compounds through the
+prefix composition (spectral radius ~1), waveform wrong by tens of
+volts; (b) f32 Newton direction under the f64 residual, with row or
+row+column equilibration: diode Jacobians reach kappa ~1e12 (gmin
+1e-12 against on-state conductances), so the f32 direction is garbage
+— and a garbage-SMALL dx freezes points through the ok_dx acceptance
+at wrong values (the dx test certifies convergence only for true
+Newton steps); (c) f32 Gauss-Jordan + f64 scan: same failure as (b),
+confirming the solve (not the scan) is the unstable half.
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -143,8 +158,25 @@ def _scan_lanes(M, c):
     return c
 
 
+def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
+    """Grid sizes coarsest→finest for the seeding ladder (finest = W).
+
+    The coarsest (constant-seed) level pays a ~15-25 iteration Newton
+    crawl (device limiting caps the per-iteration junction-voltage move,
+    so far seeds traverse slowly); every refinement level converges in
+    ~3-4 iterations from the interpolated seed (measured, graetz
+    W=8192). Deep ladders therefore amortize the crawl over the whole
+    window — W should be as large as memory allows."""
+    gs = [W]
+    if coarsen <= 1:
+        return (W,)
+    while gs[-1] % coarsen == 0 and gs[-1] // coarsen >= coarse_min:
+        gs.append(gs[-1] // coarsen)
+    return tuple(reversed(gs))
+
+
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
-                    max_iters: int = 40):
+                    max_iters: int = 40, coarsen: int = 8):
     """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
     (xs [n_win*W, n], its [n_win], done [n_win], carry) where carry =
     (x, Q, qdot, lim) at the last point — the host chains executions of
@@ -152,6 +184,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     CLAUDE.md ~45 s pathology)."""
     assemble = make_assembler(cc)
     n = cc.n
+    grids = level_grids(W, coarsen)
     # Lane-major (W-last) linear algebra keeps every elimination and
     # scan op elementwise over the 1024-wide window axis in TPU lanes;
     # the batch-major vmapped path pays [n, n] relayouts + MXU padding
@@ -166,17 +199,23 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     # holds X and the limiter state ONLY (F/Q/G/C are recomputed at the
     # top of the body — carrying them made even the identity branch copy
     # ~1.5 MB per skipped trip).
-    import os
     _loop = os.environ.get("CADNIP_PIT_LOOP", "")
     if not _loop:
         _loop = "while" if jax.default_backend() == "cpu" else "fori"
     # CADNIP_PIT_MIXED=1: f32 Newton DIRECTION under the f64 residual.
-    # Measured (graetz, CPU): iterations double (724 -> 1440) and some
-    # switching windows hit max_iters — row equilibration alone leaves
-    # the 9x9 diode Jacobians too ill-conditioned for f32 (kappa 1e6+
-    # swamps eps_f32 before the scan even compounds it). Off by default;
-    # kept as the hook for a future column-equilibrated retry.
-    mixed = os.environ.get("CADNIP_PIT_MIXED", "") == "1"
+    # First attempt (row equilibration only) doubled iterations — the
+    # 9x9 diode Jacobians' column spread (1e-12 S vs 1e3 S entries)
+    # leaves kappa 1e6+, swamping eps_f32. The active scheme adds a
+    # SHARED column scale per window (same diag for every timepoint, so
+    # the affine prefix scan composes consistently in the scaled
+    # variables y = cs*dx): cs_j = max_k,i |D_kij|, solve
+    # (D C) y = rhs, dx = y / cs. Row scaling inside _gj_lanes then
+    # completes the geequ-style two-sided equilibration.
+    mixed_env = os.environ.get("CADNIP_PIT_MIXED", "")
+    mixed = mixed_env == "1"
+    # MIXED=2: f32 GJ elimination only; the prefix scan (the compounding
+    # path) stays f64. Bounds the f32 error to the per-point solve.
+    mixed_gj = mixed_env == "2"
     atol = abstol_vector(cc)
     spec = cc.spec
     reltol = spec.reltol
@@ -197,40 +236,39 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
             X, lim, params, dynv)
 
     def run(x0, q0, qd0, lim0, t0, dt, params, dyn0):
-        c0 = 2.0 / dt
 
-        def win_body(carry, tw):
-            x_last, Q_last, qd_last, lim_last = carry
-            dynv = dyn0._replace(time=tw)
-            # constant seed from the previous window's endpoint. A
-            # linear-extrapolation predictor (seeding point k at
-            # x_last + k*slope) was tried and REVERTED: windows
-            # containing a diode switching instant get seeded deep on
-            # the wrong side of the exponential and window Newton
-            # diverges (graetz window 10, the 10 ms zero-crossing).
-            # The constant seed costs ~1 extra iteration on smooth
-            # windows but converges everywhere.
-            X0 = jnp.broadcast_to(x_last, (W, n))
+        def newton_level(tw_l, c0_l, Wl, X0, Q_last, qd_last, be,
+                         miters):
+            """Window Newton at one grid level: Wl timepoints tw_l,
+            seeded at X0. `be=False`: trapezoidal (c0_l = 2/h, carries
+            qdot); `be=True`: backward Euler (c0_l = 1/h) — used for the
+            COARSE seeding levels, where trap's non-L-stable ringing at
+            diode switching would seed the finer level on the wrong side
+            of the exponential. Returns (X, lim, iters, done)."""
+            dynv = dyn0._replace(time=tw_l)
             lim_init = jax.vmap(assemble.init_lim)(pad_state(X0))
 
             def cond(c):
                 it, done = c[-2], c[-1]
-                return (~done) & (it < max_iters)
+                return (~done) & (it < miters)
 
             def body(c):
                 X, lim, ok_dx_prev, it, done = c
                 F, Q, G, C, limn = vassemble(pad_state(X), lim,
                                              params, dynv)
-                prevF = jnp.concatenate([-qd_last[None], F[:-1]], 0)
+                if be:
+                    prevF = jnp.zeros_like(F)
+                else:
+                    prevF = jnp.concatenate([-qd_last[None], F[:-1]], 0)
                 prevQ = jnp.concatenate([Q_last[None], Q[:-1]], 0)
-                R = F + prevF + c0 * (Q - prevQ)
+                R = F + prevF + c0_l * (Q - prevQ)
                 # residual acceptance: near diode switching instants the
                 # window coupling transports uV-level jitter downstream
                 # faster than the dx test settles; a point whose KCL
                 # residual is already at rounding level is converged
                 # (same two-test design as the serial/VMEM runners)
                 rowscale = (jnp.abs(F) + jnp.abs(prevF)
-                            + c0 * (jnp.abs(Q) + jnp.abs(prevQ)))
+                            + c0_l * (jnp.abs(Q) + jnp.abs(prevQ)))
                 ok_res = jnp.abs(R) <= res_eps * rowscale + atol[None, :]
                 # a point is converged iff the step INTO its current
                 # value was tiny (carried ok_dx) OR its residual HERE is
@@ -243,10 +281,11 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 frozen = jnp.cumprod(okp.astype(DTYPE), axis=0)
                 conv = frozen[-1, 0] > 0.5
                 active = 1.0 - frozen
-                D = G + c0 * C
+                D = G + c0_l * C
+                Loff = (-c0_l * C[:-1] if be
+                        else G[:-1] - c0_l * C[:-1])
                 Lm = jnp.concatenate([
-                    jnp.zeros((1, n, n), DTYPE),
-                    G[:-1] - c0 * C[:-1]], 0)
+                    jnp.zeros((1, n, n), DTYPE), Loff], 0)
                 # Mixed precision: the RESIDUAL R stays f64 (it defines
                 # the fixed point), but the Newton DIRECTION — GJ
                 # elimination + affine prefix scan — runs in f32, which
@@ -256,11 +295,18 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # still judged on the f64 residual/dx). This is NOT the
                 # all-f32 scheme the module docstring rules out — that
                 # one put the f32 error into R itself.
-                if mixed:
-                    D, Lm, Rs = (D.astype(jnp.float32),
-                                 Lm.astype(jnp.float32),
-                                 R.astype(jnp.float32))
+                if mixed or mixed_gj:
+                    if os.environ.get("CADNIP_PIT_NOCS"):
+                        cs = jnp.ones(n, DTYPE)
+                    else:
+                        cs = jnp.maximum(
+                            jnp.max(jnp.abs(D), axis=(0, 1)),
+                            jnp.asarray(1e-30, DTYPE))  # [n]
+                    D = (D / cs[None, None, :]).astype(jnp.float32)
+                    Lm = (Lm / cs[None, None, :]).astype(jnp.float32)
+                    Rs = R.astype(jnp.float32)
                 else:
+                    cs = None
                     Rs = R
                 # prefix freezing: once every point 0..k has converged,
                 # those points stop moving (their affine elements vanish)
@@ -272,7 +318,9 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 if lane_major:
                     Mg, cg = _gj_lanes(jnp.moveaxis(D, 0, -1),
                                        jnp.moveaxis(Lm, 0, -1), Rs.T, n)
-                    gate = (active[:, 0] * (jnp.arange(W) > 0)
+                    if mixed_gj:
+                        Mg, cg = Mg.astype(DTYPE), cg.astype(DTYPE)
+                    gate = (active[:, 0] * (jnp.arange(Wl) > 0)
                             ).astype(Mg.dtype)
                     Ml = -Mg * gate[None, None, :]
                     cl = -cg * active[:, 0][None, :].astype(cg.dtype)
@@ -286,6 +334,8 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     _, dx = jax.lax.associative_scan(
                         _affine_combine, (M, cvec))
                     dx = dx.astype(DTYPE)
+                if mixed or mixed_gj:
+                    dx = dx / cs[None, :]     # unscale y -> dx
                 if max_dv > 0:
                     vstep = jnp.max(
                         jnp.where(is_v[None, :], jnp.abs(dx), 0.0),
@@ -299,7 +349,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) & finite
                 return (Xn, limn, ok_dx, it + 1, conv)
 
-            init = (X0, lim_init, jnp.zeros((W, n), bool),
+            init = (X0, lim_init, jnp.zeros((Wl, n), bool),
                     jnp.int32(0), jnp.asarray(False))
             if _loop == "fori":
                 # fixed-trip loop with a scalar-predicate cond skip:
@@ -309,18 +359,63 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 def fbody(i, c):
                     return jax.lax.cond(cond(c), body, lambda c_: c_, c)
                 X, lim, _, it, done = jax.lax.fori_loop(
-                    0, max_iters, fbody, init)
+                    0, miters, fbody, init)
             else:
                 X, lim, _, it, done = jax.lax.while_loop(
                     cond, body, init)
+            return X, lim, it, done
+
+        def win_body(carry, tw):
+            x_last, Q_last, qd_last, lim_last = carry
+            # Coarse-to-fine seeding ladder. Window Newton from a
+            # constant seed needs iterations that GROW with the window
+            # length (measured on graetz: 7.7 iters at W=1024, 12 at
+            # 2048, 26 + failures at 4096 — the Newton wavefront must
+            # propagate corrections across the whole window), which
+            # caps the useful W. Solving the same window first on a
+            # subgrid (every r-th point, trapezoidal with r*dt) and
+            # linearly interpolating that solution as the fine seed
+            # keeps every level a FEW iterations regardless of W: the
+            # classic multigrid-in-time idea, with the coarse solve
+            # reusing the identical window-Newton machinery. The
+            # coarsest level still uses the constant seed.
+            its_levels = []
+            X = None
+            for li, Wl in enumerate(grids):
+                s = W // Wl
+                be = li < len(grids) - 1     # coarse levels seed via BE
+                # iteration budget: generous everywhere. Refinement
+                # levels converge in 3-4 iterations on smooth windows,
+                # but the window holding a switching onset can need ~60
+                # at one level (measured) — and capping it poisons the
+                # carry into every later window. Unused budget is cheap:
+                # a converged window skips remaining fori trips on the
+                # identity branch (slim carry, ~us per skipped trip).
+                miters = max(max_iters, 64)
+                tw_l = tw[s - 1::s]
+                c0_l = (1.0 if be else 2.0) / (dt * s)
+                if X is None:
+                    X0 = jnp.broadcast_to(x_last, (Wl, n))
+                else:
+                    r = Wl // grids[li - 1]
+                    prev = jnp.concatenate([x_last[None], X[:-1]], 0)
+                    frac = ((jnp.arange(Wl, dtype=DTYPE) % r) + 1.0) / r
+                    base = jnp.repeat(prev, r, axis=0)
+                    step = jnp.repeat(X - prev, r, axis=0)
+                    X0 = base + frac[:, None] * step
+                X, lim, it, done = newton_level(tw_l, c0_l, Wl, X0,
+                                                Q_last, qd_last, be,
+                                                miters)
+                its_levels.append(it)
             # carry-out quantities at the window's converged endpoint —
             # one post-loop assemble so qd/Q come from the same limited
             # residual path the in-loop Newton used (the raw rhs differs
             # by ~J*tol near diode switching, enough to poison the next
             # window's carry-in row R_1)
+            dynv = dyn0._replace(time=tw)
             F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
             carry = (X[-1], Q[-1], -F[-1], lim[-1])
-            return carry, (X, it, done)
+            return carry, (X, jnp.stack(its_levels), done)
 
         times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
                  ).reshape(n_win, W)
@@ -333,7 +428,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
 
 def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
              max_iters: int = 40, x0=None, uic: bool = False, ic=None,
-             params=None, windows_per_exec: int = 64):
+             params=None, windows_per_exec: int = 64, coarsen: int = 8):
     """Fixed-step trapezoidal transient via window-parallel Newton.
 
     Saves every step: ts = t0 + dt*[0..n_steps]. Same initial-condition
@@ -374,9 +469,9 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     assemble = make_assembler(cc)
     lim0 = assemble.init_lim(pad_state(x0))
 
-    key = ("tran_pit", W, n_exec, max_iters)
+    key = ("tran_pit", W, n_exec, max_iters, coarsen)
     if key not in cc.cache:
-        run = make_pit_runner(cc, W, n_exec, max_iters)
+        run = make_pit_runner(cc, W, n_exec, max_iters, coarsen)
         cc.cache[key] = cc.jit(run)
     run = cc.cache[key]
     dyn0 = spec.dyn(mode=MODE_TRAN, time=t0f)
@@ -389,6 +484,11 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         xs_parts.append(xs_e)
         nn += int(np.asarray(jnp.sum(its)))
         all_done = all_done and bool(np.asarray(jnp.all(dones)))
+        if os.environ.get("CADNIP_PIT_DEBUG"):
+            import sys
+            print(f"  exec {e}: its={np.asarray(its).tolist()} "
+                  f"dones={np.asarray(dones).astype(int).tolist()}",
+                  file=sys.stderr, flush=True)
     xs = jnp.concatenate([x0[None, :]] + xs_parts, 0)[:n_steps + 1]
     ts = t0f + dt * np.arange(n_steps + 1)
     stats = TranStats(naccept=jnp.int32(n_steps), nreject=jnp.int32(0),
