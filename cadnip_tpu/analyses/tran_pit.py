@@ -158,6 +158,41 @@ def _scan_lanes(M, c):
     return c
 
 
+def fastest_timescale(cc: CompiledCircuit) -> float:
+    """Shortest source feature time (edge/kink spacing) in the circuit —
+    the seeding ladder's coarsest grid must still resolve it: a coarse
+    grid that smears a clock edge seeds a BISTABLE circuit (latch, flip-
+    flop) in the wrong basin and window Newton converges to the wrong
+    branch of the trapezoidal recursion (measured on the DFF: coarsen=8
+    flips the latch)."""
+    from ..mna.waveforms import (WAVE_DC, WAVE_EXP, WAVE_PULSE, WAVE_PWL,
+                                 WAVE_SFFM, WAVE_SIN)
+    tmin = np.inf
+    for g in cc.groups:
+        if g.waves is None:
+            continue
+        for w in g.waves:
+            c = w.coeffs
+            if w.kind == WAVE_PULSE:
+                cand = [x for x in (c[3], c[4], c[5]) if x and np.isfinite(x)]
+                tmin = min(tmin, *cand) if cand else tmin
+            elif w.kind == WAVE_SIN:
+                if c[2] > 0:
+                    tmin = min(tmin, 1.0 / (8.0 * c[2]))
+            elif w.kind == WAVE_PWL:
+                ts = np.asarray(c[0::2])
+                d = np.diff(ts)
+                d = d[(d > 0) & (ts[1:] < 1e20)]
+                if d.size:
+                    tmin = min(tmin, float(d.min()))
+            elif w.kind == WAVE_EXP:
+                tmin = min(tmin, max(c[3], 1e-15), max(c[5], 1e-15))
+            elif w.kind == WAVE_SFFM:
+                if c[2] > 0:
+                    tmin = min(tmin, 1.0 / (8.0 * c[2]))
+    return float(tmin)
+
+
 def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
     """Grid sizes coarsest→finest for the seeding ladder (finest = W).
 
@@ -176,7 +211,8 @@ def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
 
 
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
-                    max_iters: int = 40, coarsen: int = 8):
+                    max_iters: int = 40, coarsen: int = 8,
+                    coarse_min: int = 32):
     """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
     (xs [n_win*W, n], its [n_win], done [n_win], carry) where carry =
     (x, Q, qdot, lim) at the last point — the host chains executions of
@@ -184,7 +220,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     CLAUDE.md ~45 s pathology)."""
     assemble = make_assembler(cc)
     n = cc.n
-    grids = level_grids(W, coarsen)
+    grids = level_grids(W, coarsen, coarse_min)
     # Lane-major (W-last) linear algebra keeps every elimination and
     # scan op elementwise over the 1024-wide window axis in TPU lanes;
     # the batch-major vmapped path pays [n, n] relayouts + MXU padding
@@ -211,11 +247,9 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     # variables y = cs*dx): cs_j = max_k,i |D_kij|, solve
     # (D C) y = rhs, dx = y / cs. Row scaling inside _gj_lanes then
     # completes the geequ-style two-sided equilibration.
-    mixed_env = os.environ.get("CADNIP_PIT_MIXED", "")
-    mixed = mixed_env == "1"
-    # MIXED=2: f32 GJ elimination only; the prefix scan (the compounding
-    # path) stays f64. Bounds the f32 error to the per-point solve.
-    mixed_gj = mixed_env == "2"
+    # f32 prefix scan + f64 defect correction (see the body comment);
+    # CADNIP_PIT_SCAN=f64 forces the plain f64 scan for A/B runs.
+    mixed_scan = os.environ.get("CADNIP_PIT_SCAN", "") != "f64"
     atol = abstol_vector(cc)
     spec = cc.spec
     reltol = spec.reltol
@@ -238,7 +272,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     def run(x0, q0, qd0, lim0, t0, dt, params, dyn0):
 
         def newton_level(tw_l, c0_l, Wl, X0, Q_last, qd_last, be,
-                         miters):
+                         miters, mdv):
             """Window Newton at one grid level: Wl timepoints tw_l,
             seeded at X0. `be=False`: trapezoidal (c0_l = 2/h, carries
             qdot); `be=True`: backward Euler (c0_l = 1/h) — used for the
@@ -286,28 +320,16 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                         else G[:-1] - c0_l * C[:-1])
                 Lm = jnp.concatenate([
                     jnp.zeros((1, n, n), DTYPE), Loff], 0)
-                # Mixed precision: the RESIDUAL R stays f64 (it defines
-                # the fixed point), but the Newton DIRECTION — GJ
-                # elimination + affine prefix scan — runs in f32, which
-                # the TPU executes natively instead of via ~7x-cost f64
-                # emulation. An f32 direction is an inexact-Newton step:
-                # it perturbs the path, not the answer (convergence is
-                # still judged on the f64 residual/dx). This is NOT the
-                # all-f32 scheme the module docstring rules out — that
-                # one put the f32 error into R itself.
-                if mixed or mixed_gj:
-                    if os.environ.get("CADNIP_PIT_NOCS"):
-                        cs = jnp.ones(n, DTYPE)
-                    else:
-                        cs = jnp.maximum(
-                            jnp.max(jnp.abs(D), axis=(0, 1)),
-                            jnp.asarray(1e-30, DTYPE))  # [n]
-                    D = (D / cs[None, None, :]).astype(jnp.float32)
-                    Lm = (Lm / cs[None, None, :]).astype(jnp.float32)
-                    Rs = R.astype(jnp.float32)
-                else:
-                    cs = None
-                    Rs = R
+                # Precision split (measured on the axon backend,
+                # CLAUDE.md): the per-point GJ stays f64 (its ops run
+                # near bandwidth), but the prefix scan's op pattern pays
+                # a ~50-300x f64-emulation penalty while its f32 version
+                # FUSES (~free). An uncorrected f32 scan costs ~25% more
+                # iterations and caps out on switching windows, so the
+                # f32 result gets ONE defect-correction pass: the scan
+                # is linear, so e_k = M_k e_{k-1} + delta_k with the f64
+                # defect delta reproduces f64 accuracy after a second
+                # (cheap, f32) scan.
                 # prefix freezing: once every point 0..k has converged,
                 # those points stop moving (their affine elements vanish)
                 # so tolerance-level jitter is not re-injected downstream
@@ -317,16 +339,25 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # branch-current abstol for any accepted uV dv upstream)
                 if lane_major:
                     Mg, cg = _gj_lanes(jnp.moveaxis(D, 0, -1),
-                                       jnp.moveaxis(Lm, 0, -1), Rs.T, n)
-                    if mixed_gj:
-                        Mg, cg = Mg.astype(DTYPE), cg.astype(DTYPE)
+                                       jnp.moveaxis(Lm, 0, -1), R.T, n)
                     gate = (active[:, 0] * (jnp.arange(Wl) > 0)
-                            ).astype(Mg.dtype)
-                    Ml = -Mg * gate[None, None, :]
-                    cl = -cg * active[:, 0][None, :].astype(cg.dtype)
-                    dx = _scan_lanes(Ml, cl).T.astype(DTYPE)
+                            ).astype(DTYPE)
+                    Ml64 = -Mg * gate[None, None, :]
+                    cl64 = -cg * active[:, 0][None, :]
+                    if mixed_scan:
+                        Ml32 = Ml64.astype(jnp.float32)
+                        dxT = _scan_lanes(
+                            Ml32, cl64.astype(jnp.float32)).astype(DTYPE)
+                        dxp = jnp.pad(dxT, ((0, 0), (1, 0)))[:, :Wl]
+                        delta = (sum(Ml64[:, j, :] * dxp[j][None, :]
+                                     for j in range(n)) + cl64 - dxT)
+                        e = _scan_lanes(
+                            Ml32, delta.astype(jnp.float32)).astype(DTYPE)
+                        dx = (dxT + e).T
+                    else:
+                        dx = _scan_lanes(Ml64, cl64).T
                 else:
-                    rhs = jnp.concatenate([Lm, Rs[..., None]], axis=-1)
+                    rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
                     sol = jax.vmap(gauss_solve)(D, rhs)
                     M = -sol[..., :n] * active[:, None, :1].astype(sol.dtype)
                     cvec = -sol[..., n] * active.astype(sol.dtype)
@@ -334,13 +365,11 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     _, dx = jax.lax.associative_scan(
                         _affine_combine, (M, cvec))
                     dx = dx.astype(DTYPE)
-                if mixed or mixed_gj:
-                    dx = dx / cs[None, :]     # unscale y -> dx
-                if max_dv > 0:
+                if mdv > 0:
                     vstep = jnp.max(
                         jnp.where(is_v[None, :], jnp.abs(dx), 0.0),
                         axis=1, keepdims=True)
-                    dx = dx * jnp.minimum(1.0, max_dv
+                    dx = dx * jnp.minimum(1.0, mdv
                                           / jnp.maximum(vstep, 1e-300))
                 Xn = X + dx
                 finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
@@ -403,9 +432,14 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     base = jnp.repeat(prev, r, axis=0)
                     step = jnp.repeat(X - prev, r, axis=0)
                     X0 = base + frac[:, None] * step
+                # seed levels: relax the global voltage-step clamp (the
+                # 5 V/iter damp costs ~8 iterations traversing a 40 V
+                # swing from the constant seed; pnjlim still guards the
+                # junctions) — the finest level keeps the spec clamp
+                mdv = max_dv if li == len(grids) - 1 else 8.0 * max_dv
                 X, lim, it, done = newton_level(tw_l, c0_l, Wl, X0,
                                                 Q_last, qd_last, be,
-                                                miters)
+                                                miters, mdv)
                 its_levels.append(it)
             # carry-out quantities at the window's converged endpoint —
             # one post-loop assemble so qd/Q come from the same limited
@@ -469,9 +503,17 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     assemble = make_assembler(cc)
     lim0 = assemble.init_lim(pad_state(x0))
 
-    key = ("tran_pit", W, n_exec, max_iters, coarsen)
+    # bound the ladder's coarsest step by the fastest source feature:
+    # smearing a clock edge seeds bistable circuits in the wrong basin
+    tmin = fastest_timescale(cc)
+    if np.isfinite(tmin):
+        coarse_min = int(max(32, int(np.ceil(W * dt / max(tmin, dt)))))
+    else:
+        coarse_min = 32
+    key = ("tran_pit", W, n_exec, max_iters, coarsen, coarse_min)
     if key not in cc.cache:
-        run = make_pit_runner(cc, W, n_exec, max_iters, coarsen)
+        run = make_pit_runner(cc, W, n_exec, max_iters, coarsen,
+                              coarse_min)
         cc.cache[key] = cc.jit(run)
     run = cc.cache[key]
     dyn0 = spec.dyn(mode=MODE_TRAN, time=t0f)
