@@ -7,15 +7,19 @@ timepoints), the exact circuit/stepping of
 1-thread: VACASK 0.94 s, Ngspice 1.31 s, Xyce 9.39 s).
 
 Secondary metrics (stderr, each with its VACASK baseline):
-  * graetz — 4-diode rectifier, nonlinear, `tran 1u 1` (VACASK 1.89 s),
-    via the VMEM Pallas integrator kernel when available
-  * mul — diode voltage multiplier, `tran 0.01u 5m` (VACASK 0.97 s)
+  * graetz — 4-diode rectifier, nonlinear, the FULL `tran 1u 1` span
+    MEASURED through the parallel-in-time window-Newton runner
+    (VACASK 1.89 s)
+  * mul — diode voltage multiplier, FULL `tran 0.01u 5m` span MEASURED
+    via the PIT runner (VACASK 0.97 s)
   * dff — gf180-style level-1 DFF transient + Newton solves/s
-  * dff 1024-way Monte-Carlo sweep — ms/circuit throughput
-  * c6288 — 16x16 CMOS multiplier (10,112 FETs, 5,156 unknowns,
-    level-1 stand-ins), the reference's own `tran 2p 2n uic`
-    methodology through the BBD path; reports ms/NR-iteration
-    (VACASK: 57.98 s total, 15.6 ms/NR at 212k unknowns with PSP103)
+  * dff 1024-way and 4096-way Monte-Carlo sweeps — ms/circuit
+  * c6288 — 16x16 CMOS multiplier (10,112 FETs), the reference's own
+    `tran 2p 2n uic` methodology through the BBD path at BOTH 5,156
+    unknowns (direct wrappers) and 25,380 unknowns (drain/source
+    access resistors — the reference's exact node count); reports
+    ms/NR-iteration (VACASK: 57.98 s total, 15.6 ms/NR at 212k
+    unknowns with PSP103)
 Golden-accuracy checks: RC vs the closed-form pulse response
 (RMSE <= 1e-6), graetz ripple physics band, DFF latch logic.
 
@@ -127,78 +131,66 @@ def bench_rc():
 
 
 def bench_graetz():
-    """Nonlinear rectifier. The full VACASK span is 1 s / ~1M points;
-    the VMEM kernel currently runs ~560 us/NR (experimental), so the
-    harness times a 0.1 s slice through the kernel and reports the
-    extrapolated full-span wall clock alongside the honest slice
-    number."""
+    """Nonlinear rectifier, FULL VACASK span (1 s, dt=1us, 1M points),
+    MEASURED through the parallel-in-time window-Newton runner
+    (analyses/tran_pit.py): windows of 8192 timepoints Newton-iterated
+    simultaneously behind a coarse-to-fine seeding ladder."""
     import cadnip_tpu as ct
-    from cadnip_tpu.ops import pallas_tran
+    from cadnip_tpu.analyses.tran_pit import tran_pit
 
     cc = ct.parse_spice(GRAETZ)
-    span = 0.1
-    if pallas_tran.supported(cc):
-        try:
-            t0 = time.perf_counter()
-            sol = pallas_tran.vmem_tran(cc, (0, span), dt=1e-6,
-                                        rows_per_chunk=1024)
-            np.asarray(sol.xs[-1])
-            log(f"graetz warmup (incl. compile): "
-                f"{time.perf_counter() - t0:.2f}s")
-            v = np.asarray(sol.v("outp", "outn"))
-            late = np.asarray(sol.ts) > 0.06
-            ok = 16.0 < v[late].min() < v[late].max() < 19.5
-            t0 = time.perf_counter()
-            sol = pallas_tran.vmem_tran(cc, (0, span), dt=1e-6,
-                                        rows_per_chunk=1024)
-            np.asarray(sol.xs[-1])
-            wall = time.perf_counter() - t0
-            nn = int(np.asarray(sol.stats.nnewton))
-            log(f"graetz (VMEM kernel, {span} s of 1 s): {wall:.2f}s, "
-                f"{nn} NR ({wall / max(nn, 1) * 1e6:.1f} us/NR), "
-                f"ripple_ok={ok}; full-span extrapolation "
-                f"~{wall / span:.1f}s vs VACASK {VACASK_GRAETZ}s")
-            return wall
-        except Exception as e:
-            log(f"graetz kernel path failed ({e!r}); XLA fallback")
     t0 = time.perf_counter()
-    sol = ct.tran(cc, (0, 0.06), dt=1e-4)
-    sol.xs.block_until_ready()
-    log(f"graetz (XLA runner, reduced 0.06s span): "
-        f"{time.perf_counter() - t0:.2f}s incl compile")
-    return None
+    sol = tran_pit(cc, (0, 1.0), 1e-6, window=8192, windows_per_exec=8)
+    np.asarray(sol.xs[-1])
+    log(f"graetz warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+    v = np.asarray(sol.v("outp", "outn"))
+    late = np.asarray(sol.ts) > 0.06
+    ok = 16.0 < v[late].min() < v[late].max() < 19.5
+    fail = bool(np.asarray(sol.stats.fail))
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sol = tran_pit(cc, (0, 1.0), 1e-6, window=8192,
+                       windows_per_exec=8)
+        sol.xs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = float(np.mean(times))
+    nn = int(np.asarray(sol.stats.nnewton))
+    log(f"graetz (PIT, MEASURED full 1 s span): {wall:.2f}s, "
+        f"{nn} window-iters, ripple_ok={ok}, all_converged={not fail} "
+        f"(VACASK {VACASK_GRAETZ}s, x{VACASK_GRAETZ / wall:.2f}; "
+        f"Ngspice 2.21s, Gnucap 15.16s, Xyce 10.60s)")
+    return wall
 
 
 def bench_mul():
+    """Diode voltage multiplier, FULL VACASK span (5 ms, dt=10ns, 500k
+    points), MEASURED through the PIT runner."""
     import cadnip_tpu as ct
-    from cadnip_tpu.ops import pallas_tran
+    from cadnip_tpu.analyses.tran_pit import tran_pit
 
     cc = ct.parse_spice(MUL)
-    span = 5e-4     # of the 5 ms VACASK span
-    if not pallas_tran.supported(cc):
-        log("mul: VMEM kernel unsupported for this circuit; skipped")
-        return None
-    try:
+    t0 = time.perf_counter()
+    sol = tran_pit(cc, (0, 5e-3), 1e-8, window=8192, windows_per_exec=8)
+    np.asarray(sol.xs[-1])
+    log(f"mul warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+    times = []
+    for _ in range(2):
         t0 = time.perf_counter()
-        sol = pallas_tran.vmem_tran(cc, (0, span), dt=1e-8,
-                                    rows_per_chunk=1024)
-        np.asarray(sol.xs[-1])
-        log(f"mul warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
-        t0 = time.perf_counter()
-        sol = pallas_tran.vmem_tran(cc, (0, span), dt=1e-8,
-                                    rows_per_chunk=1024)
-        np.asarray(sol.xs[-1])
-        wall = time.perf_counter() - t0
-        nn = int(np.asarray(sol.stats.nnewton))
-        v20 = float(np.asarray(sol["20"])[-1])
-        log(f"mul (VMEM kernel, {span * 1e3:.1f} ms of 5 ms): "
-            f"{wall:.2f}s, {nn} NR, v(20)={v20:.1f}V (pumping); "
-            f"full-span extrapolation ~{wall * 5e-3 / span:.1f}s vs "
-            f"VACASK {VACASK_MUL}s")
-        return wall
-    except Exception as e:
-        log(f"mul kernel path failed: {e!r}")
-        return None
+        sol = tran_pit(cc, (0, 5e-3), 1e-8, window=8192,
+                       windows_per_exec=8)
+        sol.xs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = float(np.mean(times))
+    nn = int(np.asarray(sol.stats.nnewton))
+    v20 = float(np.asarray(sol["20"])[-1])
+    ok = v20 > 40.0           # multiplier has pumped well past a stage
+    fail = bool(np.asarray(sol.stats.fail))
+    log(f"mul (PIT, MEASURED full 5 ms span): {wall:.2f}s, "
+        f"{nn} window-iters, v(20)={v20:.1f}V (pumped_ok={ok}), "
+        f"all_converged={not fail} (VACASK {VACASK_MUL}s, "
+        f"x{VACASK_MUL / wall:.2f}; Ngspice 1.16s)")
+    return wall
 
 
 def bench_dff():
@@ -297,6 +289,8 @@ def main():
         for name, fn in (("graetz", bench_graetz), ("mul", bench_mul),
                          ("dff", bench_dff),
                          ("dff_sweep", bench_dff_sweep),
+                         ("dff_sweep4096",
+                          lambda: bench_dff_sweep(batch=4096)),
                          ("c6288", bench_c6288)):
             try:
                 fn()

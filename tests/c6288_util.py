@@ -1,6 +1,12 @@
 """c6288 16x16 CMOS multiplier deck builder (ISCAS-85 netlist from the
 reference benchmark suite, `/root/reference/benchmarks/vacask/c6288/`,
-10,112 FETs) with level-1 MOS stand-ins for the PSP103 wrappers."""
+10,112 FETs) with level-1 MOS stand-ins for the PSP103 wrappers.
+
+`access_r=True` adds drain/source access resistors inside each FET
+wrapper (the physical role of the reference wrappers' ld/ls access
+geometry): two internal nodes per FET grow the system to exactly the
+reference's 25,380-node count (212k unknowns there come from PSP103's
+additional per-FET internal unknowns)."""
 import os
 
 MULT_INC = ("/root/reference/benchmarks/vacask/c6288/ngspice/"
@@ -11,15 +17,23 @@ def have_sources() -> bool:
     return os.path.exists(MULT_INC)
 
 
-def build_deck() -> str:
-    models = """* level-1 stand-in for the PSP103 wrappers
+def build_deck(access_r: bool = False) -> str:
+    if access_r:
+        nbody = ("  rd d di 150\n  mn di g si b nch w={w} l={l}\n"
+                 "  rs si s 150")
+        pbody = ("  rd d di 150\n  mp di g si b pch w={w} l={l}\n"
+                 "  rs si s 150")
+    else:
+        nbody = "  mn d g s b nch w={w} l={l}"
+        pbody = "  mp d g s b pch w={w} l={l}"
+    models = f"""* level-1 stand-in for the PSP103 wrappers
 .global vdd vss
 .option itl1=500
 .subckt nmos d g s b w=1u l=0.2u ld=0.5u ls=0.5u
-  mn d g s b nch w={w} l={l}
+{nbody}
 .ends
 .subckt pmos d g s b w=1u l=0.2u ld=0.5u ls=0.5u
-  mp d g s b pch w={w} l={l}
+{pbody}
 .ends
 .model nch nmos vto=0.4 kp=200u lambda=0.05 cbd=0.1f cbs=0.1f
 .model pch pmos vto=-0.4 kp=80u lambda=0.05 cbd=0.1f cbs=0.1f
