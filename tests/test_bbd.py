@@ -138,3 +138,35 @@ def test_c6288_uic_transient_reduced_span():
     assert int(np.asarray(sol.stats.naccept)) >= 2
     xs = np.asarray(sol.xs)
     assert np.isfinite(xs).all()
+
+
+def test_c6288_access_r_partition_at_reference_node_count():
+    """The access-resistor variant (two internal nodes per FET — the
+    physical role of the reference wrappers' ld/ls access geometry)
+    reaches exactly the reference's 25,380-node count
+    (`benchmarks/vacask/README.md:87-89`) and still partitions to an
+    exact BBD solve."""
+    from c6288_util import build_deck, have_sources
+    if not have_sources():
+        pytest.skip("reference benchmark netlist not available")
+    import cadnip_tpu as ct
+    from cadnip_tpu.mna.assemble import pad_state
+    from cadnip_tpu.mna.bbd_assemble import make_bbd_assembler
+    from cadnip_tpu.ops.bbd import bbd_matvec, make_bbd_solver
+
+    cc = ct.parse_spice(build_deck(access_r=True))
+    assert cc.n == 25380
+    part = cc.bbd
+    assert part is not None
+    assert part.nb < cc.n * 0.2
+    assemble = make_bbd_assembler(cc, part)
+    solve = make_bbd_solver(part, None)
+    params = cc.params0()
+    dyn = cc.spec.dyn(gshunt=1e-2)
+    x = jnp.zeros(cc.n)
+    lim = assemble.init_lim(pad_state(x))
+    F, Q, G, C, lim = assemble(pad_state(x), lim, params, dyn)
+    dx = solve(*G, -F)
+    assert bool(jnp.isfinite(dx).all())
+    r = bbd_matvec(part, G, dx) + F
+    assert float(jnp.max(jnp.abs(r))) < 1e-10 * float(jnp.max(jnp.abs(F)))
