@@ -143,6 +143,22 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
                     converged=r.converged | r2.converged,
                     iters=r.iters + r2.iters,
                     resnorm=jnp.where(take, r2.resnorm, r.resnorm))
+    if rescue and cc.bbd is None and not np.asarray(r.converged).all():
+        # final tier: Levenberg–Marquardt damped Newton (the LM member
+        # of the reference polyalgorithm, `src/mna/solve.jl:463-472`).
+        # Runs AFTER pseudo-transient: ptran's charge damping selects
+        # the physically-reachable basin on bistable circuits, while LM
+        # handles near-singular Jacobians charge-free circuits hit.
+        key = "dc_lm_rescue"
+        if key not in cc.cache:
+            from ..mna.newton import make_lm_rescue
+            cc.cache[key] = cc.jit(make_lm_rescue(cc))
+        r3 = cc.cache[key](r.x, params, dyn)
+        take = jnp.asarray(r3.converged)
+        r = type(r)(x=jnp.where(take, r3.x, r.x),
+                    converged=r.converged | r3.converged,
+                    iters=r.iters + r3.iters,
+                    resnorm=jnp.where(take, r3.resnorm, r.resnorm))
     return DCSolution(cc, r.x, r.converged, r.iters, r.resnorm,
                       params=params)
 

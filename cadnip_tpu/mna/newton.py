@@ -192,6 +192,76 @@ def make_tran_newton(cc: CompiledCircuit, assemble=None,
     return newton_t
 
 
+def make_lm_rescue(cc: CompiledCircuit, method: str | None = None,
+                   max_iters: int | None = None,
+                   lam0: float = 1e-3):
+    """Levenberg–Marquardt damped Newton: the LM member of the
+    reference's `CedarRobustNLSolve` polyalgorithm (`src/mna/solve.jl:
+    463-472` — RobustMultiNewton + LevenbergMarquardt + PseudoTransient).
+
+    Solves (G + lam*diag(d)) dx = -F with d the Jacobian row scales;
+    steps that reduce ||F||_2 are accepted and shrink lam toward plain
+    Newton, rejected steps grow lam toward steepest descent — so the
+    iteration makes progress from starting points where the undamped
+    Newton direction diverges (near-singular Jacobians at bistable/
+    cut-off operating points). Dense circuits only (the BBD backend's
+    block form has no cheap diagonal-shift solve)."""
+    spec = cc.spec
+    if cc.bbd is not None:
+        raise ValueError("LM rescue supports the dense backend only")
+    assemble, solve_J, _ = _make_assemble_solve(cc, None, method)
+    atol = abstol_vector(cc)
+    is_v = jnp.asarray(cc.classes == CLASS_V)
+    max_iters = max_iters or 4 * spec.max_newton_iters
+    eye = jnp.eye(cc.n, dtype=DTYPE)
+
+    def lm(x0, params, dyn: DynSpec) -> NewtonResult:
+        x0 = jnp.asarray(x0, DTYPE)
+        lim0 = assemble.init_lim(pad_state(x0))
+
+        def cond(c):
+            it, done = c[3], c[4]
+            return (~done) & (it < max_iters)
+
+        def body(c):
+            x, lim, lam, it, _, _ = c
+            F, _, G, _, lim_new = assemble(pad_state(x), lim, params, dyn)
+            d = jnp.maximum(jnp.max(jnp.abs(G), axis=1), 1e-12)
+            dx = solve_J(G, eye * d[:, None], lam, -F)
+            if spec.max_dv > 0:
+                dx = damp_step(dx, is_v, spec.max_dv)
+            x_t = x + dx
+            F_t, _, _, _, lim_t = assemble(pad_state(x_t), lim_new,
+                                           params, dyn)
+            f0 = jnp.sum(F * F)
+            f1 = jnp.sum(F_t * F_t)
+            better = (f1 < f0) & jnp.all(jnp.isfinite(x_t)) \
+                & jnp.isfinite(f1)
+            x_n = jnp.where(better, x_t, x)
+            # the limiter anchor ALWAYS advances (SPICE practice): a
+            # frozen anchor makes the companion-limited residual look
+            # converged at a false solution (cutoff-extrapolated diode
+            # currents), deadlocking the accept test
+            lim_n = jnp.where(better, lim_t, lim_new)
+            lam_n = jnp.where(better, jnp.maximum(lam * 0.25, 1e-12),
+                              jnp.minimum(lam * 8.0, 1e10))
+            # converged: an ACCEPTED, nearly-undamped step passed the
+            # usual dx test (a damped step can be tiny while far away)
+            ok = better & (lam < 1e-6) & jnp.all(
+                jnp.abs(dx) <= spec.reltol * jnp.maximum(
+                    jnp.abs(x_t), jnp.abs(x)) + atol)
+            rn = jnp.where(better, jnp.max(jnp.abs(F_t)),
+                           jnp.max(jnp.abs(F)))
+            return (x_n, lim_n, lam_n, it + 1, ok, rn)
+
+        init = (x0, lim0, jnp.asarray(lam0, DTYPE), jnp.int32(0),
+                jnp.asarray(False), jnp.asarray(jnp.inf, DTYPE))
+        x, _, _, it, done, rn = jax.lax.while_loop(cond, body, init)
+        return NewtonResult(x=x, converged=done, iters=it, resnorm=rn)
+
+    return lm
+
+
 def make_ptran_rescue(cc: CompiledCircuit, method: str | None = None,
                       n_steps: int = 15, h0: float = 1e-12,
                       h1: float = 1e3):

@@ -79,3 +79,64 @@ def test_uic_cold_start_oscillator():
     v = np.asarray(sol["n1"])
     crossings = int(np.abs(np.diff((v > 1.65).astype(int))).sum())
     assert crossings >= 4
+
+
+def test_lm_rescue_matches_dc():
+    # the LM member of the reference polyalgorithm
+    # (`src/mna/solve.jl:463-472`): from a cold start it must walk the
+    # damped-Newton path to the same operating point as the full chain
+    from cadnip_tpu.mna.newton import make_lm_rescue
+    cc = _diode_chain()
+    ref = ct.dc(cc)
+    lm = make_lm_rescue(cc)
+    r = lm(jnp.zeros(cc.n), cc.params0(), cc.spec.dyn())
+    assert bool(np.asarray(r.converged))
+    assert np.allclose(np.asarray(r.x), np.asarray(ref.x), atol=1e-6)
+    assert float(np.asarray(r.resnorm)) < 1e-6
+
+
+def test_lm_rescue_bridge_cold_start():
+    # 4-diode bridge at 20 V drive: steep exponentials plus a floating
+    # output pair — LM must converge from zeros without the gmin ladder
+    from cadnip_tpu.mna.newton import make_lm_rescue
+    cc = ct.parse_spice("""bridge
+.model dd d is=76.9p n=1.45
+v1 a b dc 20
+d1 a p dd
+d2 n a dd
+d3 b p dd
+d4 n b dd
+rl p n 1k
+rg1 b 0 1meg
+rg2 n 0 1meg
+""")
+    ref = ct.dc(cc)
+    assert bool(ref.converged)
+    lm = make_lm_rescue(cc)
+    r = lm(jnp.zeros(cc.n), cc.params0(), cc.spec.dyn())
+    assert bool(np.asarray(r.converged))
+    assert np.allclose(np.asarray(r.x), np.asarray(ref.x), atol=1e-5)
+
+
+def test_dc_full_chain_with_capped_newton():
+    # handicap the homotopy chain (few rungs, tight iteration cap): the
+    # lazy rescue tiers must still land the full dc() on the right point
+    from cadnip_tpu.mna.spec import SimSpec
+    import cadnip_tpu.frontend.netlist as _  # noqa: F401
+    src = """bridge
+.model dd d is=76.9p n=1.45
+v1 a b dc 20
+d1 a p dd
+d2 n a dd
+d3 b p dd
+d4 n b dd
+rl p n 1k
+rg1 b 0 1meg
+rg2 n 0 1meg
+"""
+    ref = ct.dc(ct.parse_spice(src))
+    cc = ct.parse_spice(src, spec=SimSpec(max_newton_iters=8,
+                                          gmin_steps=2, src_steps=2))
+    sol = ct.dc(cc)
+    assert bool(sol.converged)
+    assert np.allclose(np.asarray(sol.x), np.asarray(ref.x), atol=1e-5)
