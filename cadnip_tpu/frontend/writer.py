@@ -123,14 +123,127 @@ def _model_for(cards: dict, model, mtype: str, params: dict, skip=()):
     return cards[key][0]
 
 
+def _spectre_wave_params(w) -> str:
+    """Spectre vsource/isource waveform parameter string (the VACASK
+    dialect the reference's `cg_spectre.jl` targets, SURVEY §2.8)."""
+    if w is None or w.kind == wf.WAVE_DC:
+        return f"dc={_fmt(w.dc if w is not None else 0.0)}"
+    c = w.coeffs
+    if w.kind == wf.WAVE_PULSE:
+        keys = ("val0", "val1", "delay", "rise", "fall", "width", "period")
+        kv = " ".join(f"{k}={_fmt(v)}" for k, v in zip(keys, c))
+        return f"type=pulse dc={_fmt(c[0])} {kv}"
+    if w.kind == wf.WAVE_SIN:
+        return (f"type=sine sinedc={_fmt(c[0])} ampl={_fmt(c[1])} "
+                f"freq={_fmt(c[2])}"
+                + (f" delay={_fmt(c[3])}" if len(c) > 3 and c[3] else ""))
+    if w.kind == wf.WAVE_PWL:
+        pts = " ".join(_fmt(x) for x in c)
+        return f"type=pwl wave=[{pts}]"
+    if w.kind == wf.WAVE_EXP:
+        keys = ("val0", "val1", "td1", "tau1", "td2", "tau2")
+        kv = " ".join(f"{k}={_fmt(v)}" for k, v in zip(keys, c))
+        return f"type=exp dc={_fmt(c[0])} {kv}"
+    return f"dc={_fmt(w.dc)}"
+
+
+def to_spectre(cir: Circuit) -> str:
+    """Serialize a Circuit to Spectre netlist text (the reference
+    SpiceArmyKnife's `cg_spectre.jl` backend / VACASK target,
+    `SpiceArmyKnife.jl/src/cg_spectre.jl`, SURVEY §2.8). Built-in
+    devices map onto Spectre primitives; diode/BJT/MOS emit shared
+    `model` cards; VA devices instance their module name directly."""
+    lines = [f"// {cir.title or 'converted netlist'}",
+             "simulator lang=spectre"]
+    model_cards = {}
+    body = []
+    for inst in cir.instances:
+        m = inst.model
+        nm = inst.name.replace(".", "_")
+        nd = "(" + " ".join(inst.nodes) + ")"
+        p = inst.params
+        if m is dv.RESISTOR:
+            body.append(f"{nm} {nd} resistor r={_fmt(p.get('r', 1e3))}")
+        elif m is dv.CAPACITOR:
+            body.append(f"{nm} {nd} capacitor c={_fmt(p.get('c', 1e-12))}")
+        elif m is dv.INDUCTOR:
+            body.append(f"{nm} {nd} inductor l={_fmt(p.get('l', 1e-9))}")
+        elif m in (dv.VSOURCE, dv.ISOURCE):
+            master = "vsource" if m is dv.VSOURCE else "isource"
+            parts = [f"{nm} {nd} {master}",
+                     _spectre_wave_params(inst.wave)]
+            if p.get("acmag"):
+                parts.append(f"mag={_fmt(p['acmag'])}")
+                if p.get("acphase"):
+                    parts.append(f"phase={_fmt(p['acphase'])}")
+            body.append(" ".join(parts))
+        elif m is dv.VCVS:
+            body.append(f"{nm} {nd} vcvs gain={_fmt(p.get('gain', 1.0))}")
+        elif m is dv.VCCS:
+            body.append(f"{nm} {nd} vccs gm={_fmt(p.get('gm', 1.0))}")
+        elif m in (dv.CCCS, dv.CCVS):
+            # Spectre senses currents through a probe vsource
+            gain = p.get("gain", p.get("r", 1.0))
+            master = "cccs" if m is dv.CCCS else "ccvs"
+            key = "gain" if m is dv.CCCS else "rm"
+            body.append(f"{nm} {nd} {master} {key}={_fmt(gain)} "
+                        f"probe={inst.sense[0]}")
+        elif m is dv.MUTUAL:
+            body.append(f"{nm} mutual_inductor ind1={inst.sense[0]} "
+                        f"ind2={inst.sense[1]} coupling={_fmt(p.get('m', 0.0))}")
+        elif m in (dv.DIODE, dv.DIODE_RS):
+            mdl = _model_for(model_cards, m, "d", p, skip={"area"})
+            area = p.get("area", 1.0)
+            body.append(f"{nm} {nd} {mdl}"
+                        + (f" area={_fmt(area)}" if area != 1.0 else ""))
+        elif m is dv.BJT:
+            mtype = "pnp" if p.get("type", 1.0) < 0 else "npn"
+            mdl = _model_for(model_cards, m, mtype, p,
+                             skip={"type", "area"})
+            body.append(f"{nm} {nd} {mdl}")
+        elif m is dv.MOSFET1:
+            mtype = "pmos" if p.get("type", 1.0) < 0 else "nmos"
+            mdl = _model_for(model_cards, m, mtype, p,
+                             skip={"type", "w", "l"})
+            body.append(f"{nm} {nd} {mdl} "
+                        f"w={_fmt(p.get('w', m.defaults['w']))} "
+                        f"l={_fmt(p.get('l', m.defaults['l']))}")
+        else:
+            kv = " ".join(f"{k}={_fmt(v)}" for k, v in p.items()
+                          if not str(k).endswith("__given"))
+            body.append(f"{nm} {nd} {m.name} {kv}".strip())
+    for (mdl_name, mtype, items) in model_cards.values():
+        # model masters keep the SPICE-compatible type names (d, npn,
+        # nmos, ...) — the shape VACASK-style decks and our own Spectre
+        # reader share (reference `cg_spectre.jl` does the same mapping)
+        rev = {"vth": "vto", "cgs": "cgso", "cgd": "cgdo", "cgb": "cgbo"}
+        kv = " ".join(f"{rev.get(k, k)}={_fmt(v)}" for k, v in items)
+        lines.append(f"model {mdl_name} {mtype} {kv}".rstrip())
+    lines.extend(body)
+    return "\n".join(lines) + "\n"
+
+
+#: dialect-trait table (the reference's `simulator_traits.jl`): writer,
+#: comment leader, and whether the dialect wants a title line
+DIALECTS = {
+    "spice": {"writer": to_spice, "comment": "*", "title_line": True},
+    "ngspice": {"writer": to_spice, "comment": "*", "title_line": True},
+    "spectre": {"writer": to_spectre, "comment": "//",
+                "title_line": False},
+}
+
+
 def convert(text: str, *, to: str = "spice") -> str:
-    """Dialect conversion: parse (auto-detect SPICE/Spectre), re-emit."""
+    """Dialect conversion: parse (auto-detect SPICE/Spectre), re-emit
+    (the reference's `spak-convert`, `SpiceArmyKnife.jl/README.md:8-24`)."""
     from .elaborate import elaborate_netlist
 
     cir, _ = elaborate_netlist(text)
-    if to != "spice":
-        raise ValueError(f"unsupported target dialect {to!r}")
-    return to_spice(cir)
+    d = DIALECTS.get(to)
+    if d is None:
+        raise ValueError(f"unsupported target dialect {to!r}; "
+                         f"supported: {sorted(DIALECTS)}")
+    return d["writer"](cir)
 
 
 # ---------------------------------------------------------------------------

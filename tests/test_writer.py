@@ -76,3 +76,72 @@ rbig probe 0 1k
     sol = dc(cc)
     assert bool(sol.converged)
     assert float(sol["x1#mid"]) == pytest.approx(4.0, rel=1e-9)
+
+
+def test_spice_to_spectre_roundtrip():
+    # SPICE -> Spectre (cg_spectre backend) -> our Spectre reader -> same
+    # DC solution. Covers primitives, model-card devices, and waveforms.
+    from cadnip_tpu.frontend.writer import to_spectre
+    src = """spectre target
+.model dx d (is=2e-14 n=1.1)
+.model nch nmos (level=1 vto=0.7 kp=110u)
+v1 in 0 dc 5
+vg g 0 dc 2
+r1 in mid 1k
+c1 mid 0 1u
+d1 mid 0 dx
+m1 in g sn 0 nch w=10u l=1u
+rs sn 0 2k
+g1 gp 0 mid 0 1m
+rg gp 0 1k
+"""
+    cc1 = ct.parse_spice(src)
+    text = to_spectre(ct.parse_spice(src, compile=False))
+    assert "simulator lang=spectre" in text
+    cc2 = ct.parse_spice(text)     # auto-detects the Spectre dialect
+    s1, s2 = ct.dc(cc1), ct.dc(cc2)
+    assert bool(s1.converged) and bool(s2.converged)
+    for node in ("in", "mid", "sn", "gp"):
+        assert float(s1[node]) == pytest.approx(float(s2[node]), rel=1e-9)
+
+
+def test_spice_to_spectre_waveforms():
+    from cadnip_tpu.frontend.writer import to_spectre
+    src = """waves
+v1 a 0 dc 0 pulse 0 5 1u 1n 1n 1m 2m
+v2 b 0 dc 0 sin 0 2 1k
+r1 a 0 1k
+r2 b 0 1k
+"""
+    text = to_spectre(ct.parse_spice(src, compile=False))
+    assert "type=pulse" in text and "type=sine" in text
+    cc1 = ct.parse_spice(src)
+    cc2 = ct.parse_spice(text)
+    t1 = ct.tran(cc1, (0, 2e-3), dt=2e-6)
+    t2 = ct.tran(cc2, (0, 2e-3), dt=2e-6)
+    a1 = np.interp(np.asarray(t2.ts), np.asarray(t1.ts),
+                   np.asarray(t1["a"]))
+    b1 = np.interp(np.asarray(t2.ts), np.asarray(t1.ts),
+                   np.asarray(t1["b"]))
+    assert np.allclose(np.asarray(t2["a"]), a1, atol=1e-6)
+    assert np.allclose(np.asarray(t2["b"]), b1, atol=1e-6)
+
+
+def test_convert_cli(tmp_path, capsys):
+    from cadnip_tpu.convert import main
+    src = tmp_path / "in.ckt"
+    src.write_text("""cli test
+v1 in 0 dc 5
+r1 in out 1k
+r2 out 0 1k
+""")
+    out = tmp_path / "out.scs"
+    assert main([str(src), "--to", "spectre", "-o", str(out)]) == 0
+    text = out.read_text()
+    assert "simulator lang=spectre" in text
+    sol = ct.dc(ct.parse_spice(text))
+    assert float(sol["out"]) == pytest.approx(2.5)
+    # stdout path + veriloga target
+    assert main([str(src), "--to", "veriloga", "--module", "divi"]) == 0
+    cap = capsys.readouterr()
+    assert "module divi" in cap.out
