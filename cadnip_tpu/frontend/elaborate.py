@@ -110,6 +110,13 @@ class Scope:
         return None
 
 
+#: expression-level physical constants (ngspice's braces constants /
+#: Spectre's builtins); netlist .param definitions shadow them
+_EXPR_CONSTS = {"pi": 3.141592653589793, "boltz": 1.380649e-23,
+                "echarge": 1.602176634e-19, "kelvin": 273.15,
+                "planck": 6.62607015e-34}
+
+
 class _ScopeEnv:
     """Mapping view for eval_expr with scope-chain lookup."""
 
@@ -124,12 +131,17 @@ class _ScopeEnv:
             self.scope.lookup_param(k)
             return True
         except ExprError:
-            return False
+            return k in _EXPR_CONSTS
 
     def __getitem__(self, k):
         if k in self.extra:
             return self.extra[k]
-        return self.scope.lookup_param(k)
+        try:
+            return self.scope.lookup_param(k)
+        except ExprError:
+            if k in _EXPR_CONSTS:
+                return _EXPR_CONSTS[k]
+            raise
 
 
 @dataclasses.dataclass
@@ -823,6 +835,20 @@ class Elaborator:
                          sense=prefix + str(card.kwargs.get(
                              "probe", ("word", ""))[1]),
                          r=val("rm", val("gain", 1.0)))
+        elif ml == "bsource":
+            # Spectre behavioral source: `name (p n) bsource v=expr`
+            # (asap7 deck idiom, reference `test/bsimcmg/asap7_inv.scs`)
+            m = re.search(r"\b([vi])\s*=\s*(.+?)\s*$", card.line,
+                          re.IGNORECASE)
+            if m is None:
+                raise ElabError(f"{name}: bsource needs v= or i=",
+                                card.line_no, card.line)
+            is_v = m.group(1).lower() == "v"
+            ast = parse_expr(m.group(2).strip('"'))
+            model, bnodes, sense = _make_bsource_model(
+                name, ast, is_v, scope, flat_node,
+                (nodes[0], nodes[1]), prefix)
+            self.cir.add(model, name, bnodes, sense=sense)
         elif ml == "mutual_inductor":
             l1 = str(card.kwargs.get("ind1", ("word", ""))[1])
             l2 = str(card.kwargs.get("ind2", ("word", ""))[1])

@@ -46,7 +46,7 @@ def parse_number(tok: str):
 _TOKEN_RE = re.compile(
     r"\s*(?:(\*\*|&&|\|\||[<>=!]=|[-+*/^(),<>?:!])|"
     r"((?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?[a-zA-Z]*)|"
-    r"([A-Za-z_][A-Za-z0-9_.]*))")
+    r"(\$?[A-Za-z_][A-Za-z0-9_.]*))")
 
 
 def tokenize_expr(s: str):
@@ -68,7 +68,9 @@ def tokenize_expr(s: str):
                 raise ValueError(f"bad number {m.group(2)!r} in {s!r}")
             out.append(("num", v))
         else:
-            out.append(("name", m.group(3)))
+            # Spectre's $time / $temperature spell the same runtime
+            # quantities as the bare names (asap7 bsource idiom)
+            out.append(("name", m.group(3).lstrip("$")))
     return out
 
 

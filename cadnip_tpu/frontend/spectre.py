@@ -26,7 +26,8 @@ _SPECTRE_MAG = {"T": 1e12, "G": 1e9, "M": 1e6, "K": 1e3, "k": 1e3,
                 "a": 1e-18, "%": 1e-2}
 
 _NUM_RE = re.compile(
-    r"^([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)([TGMKkmunpfa%]?)$")
+    r"^([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)([TGMKkmunpfa%]?)"
+    r"(?:_[A-Za-z]+)?$")   # optional unit tag: 1.8_V, 10k_Ohm
 
 
 def parse_spectre_number(tok: str):

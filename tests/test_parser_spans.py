@@ -91,3 +91,18 @@ REF_DECKS = [
 def test_reference_decks_parse(path):
     nl = parse_netlist(open(path).read())
     assert nl.cards                      # structure produced
+
+
+SPECTRE_DECKS = [
+    "/root/reference/test/bsimcmg/asap7_inv.scs",
+    "/root/reference/test/mna/fixtures/table_model/tm_1d.scs",
+    "/root/reference/test/mna/fixtures/table_model/tm_2d.scs",
+]
+
+
+@pytest.mark.parametrize("path", [p for p in SPECTRE_DECKS
+                                  if os.path.exists(p)])
+def test_reference_spectre_decks_parse(path):
+    from cadnip_tpu.frontend.spectre import parse_spectre
+    nl = parse_spectre(open(path).read())
+    assert nl.cards

@@ -86,3 +86,43 @@ rl (out 0) resistor r=1K
 """)
     sol = dc(cc)
     assert sol["out"] == pytest.approx(2.0, rel=1e-9)
+
+
+def test_spectre_unit_suffix_numbers():
+    assert parse_spectre_number("1.8_V") == pytest.approx(1.8)
+    assert parse_spectre_number("10k_Ohm") == pytest.approx(10e3)
+
+
+def test_spectre_bsource_asap7_idiom():
+    # `bsource v=expr` with $time/pi/** — the idiom of the reference's
+    # asap7 deck (`test/bsimcmg/asap7_inv.scs`)
+    import numpy as np
+    src = """simulator lang=spectre
+VScc (VDD 0) vsource type=dc dc=1.8_V
+R1 (VDD mid) resistor r=10k
+R2 (mid 0) resistor r=10k
+VSgate (Vgate 0) bsource v=1.8*(1-sin(10.0**7*2*pi*$time))
+Rg (Vgate 0) resistor r=1k
+"""
+    cc = parse_spice(src)
+    sol = dc(cc)
+    assert float(sol["mid"]) == pytest.approx(0.9)
+    assert float(sol["Vgate"]) == pytest.approx(1.8)   # sin(0) = 0
+    t = tran(cc, (0, 2e-7), dt=1e-9)
+    vg = np.asarray(t["Vgate"])
+    ts = np.asarray(t.ts)
+    exact = 1.8 * (1 - np.sin(1e7 * 2 * np.pi * ts))
+    # save-grid interpolation of adaptive steps bounds the error, not
+    # the bsource itself (pinned algebraically at solver points)
+    assert np.abs(vg - exact).max() < 0.05
+
+
+def test_expression_constants_available():
+    cc = parse_spice("""consts
+.param f0={1/(2*pi*1k*1u)}
+v1 in 0 dc {pi}
+r1 in 0 1k
+""")
+    import numpy as np
+    sol = dc(cc)
+    assert float(sol["in"]) == pytest.approx(3.141592653589793)
