@@ -76,6 +76,70 @@ def partition_circuit(cc: CompiledCircuit, block_size: int | None = None
     return part
 
 
+def nested_border_partition(cc: CompiledCircuit, part: BBDPartition,
+                            block_size: int = 128
+                            ) -> BBDPartition | None:
+    """Partition the BORDER unknowns for the nested Schur solve.
+
+    The Schur complement S = B - sum_k F_k D_k^{-1} E_k has an exactly
+    known fill pattern: B's entries (devices whose unknowns all sit in
+    the border) plus, per block k, a dense clique over that block's
+    bmap set (the F D^{-1} E rectangle). Both are passed to
+    `partition_graph` as device groups so its block-spanning promotion
+    guarantees no S nonzero is dropped by the level-2 gathers.
+
+    The CLASS_I singular-row guard repeats at this level: a border
+    branch-current row (zero structural diagonal) whose every S-coupling
+    partner lands in the level-2 border would make its D2 block
+    singular (the supply-rail source currents are the canonical case).
+    """
+    from .devices import CLASS_I as _CI
+    nb = part.nb
+    lob = part.local_of
+    dev2: list = []
+    for g in cc.groups:
+        for row in g.conn:
+            idx = [int(lob[i]) for i in row
+                   if i < cc.n and part.block_of[i] < 0]
+            if len(idx) > 1:
+                dev2.append(sorted(set(idx)))
+    for k in range(part.K):
+        clique = sorted(int(j) for j in part.bmap[k] if j < nb)
+        if len(clique) > 1:
+            dev2.append(clique)
+    edges2 = []
+    for idx in dev2:
+        for a in range(len(idx)):
+            for b in range(a + 1, len(idx)):
+                edges2.append((idx[a], idx[b]))
+    classes_b = np.zeros(nb, np.int8)
+    for i in range(cc.n):
+        if part.block_of[i] < 0:
+            classes_b[lob[i]] = cc.classes[i]
+    pre_border: set = set()
+    part2 = None
+    for _ in range(3):
+        part2 = partition_graph(nb, edges2, block_size=block_size,
+                                device_unknowns=dev2,
+                                pre_border=pre_border)
+        partners: dict = {}
+        for idx in dev2:
+            for i in idx:
+                if classes_b[i] == _CI:
+                    partners.setdefault(i, set()).update(
+                        j for j in idx if j != i)
+        viol = {i for i, ps in partners.items()
+                if part2.block_of[i] >= 0
+                and all(part2.block_of[j] < 0 for j in ps)}
+        if not viol - pre_border:
+            break
+        pre_border |= viol
+    # only worth it if the level-2 border actually shrank
+    if part2 is None or part2.nb > 0.7 * nb:
+        return None
+    return part2
+
+
 def _dest(part: BBDPartition, gi: int, gj: int, dev_block: int):
     """(tensor_id, flat_index) for a stamp at global (gi, gj).
     tensor ids: 0=D, 1=E, 2=F, 3=B; flat index into the flattened tensor

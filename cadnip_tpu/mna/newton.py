@@ -66,7 +66,8 @@ def _make_assemble_solve(cc: CompiledCircuit, assemble, method):
         from ..ops.bbd import bbd_matvec, make_bbd_solver
         from .bbd_assemble import make_bbd_assembler
         assemble = assemble or make_bbd_assembler(cc, cc.bbd)
-        bbd_solve = make_bbd_solver(cc.bbd, method)
+        bbd_solve = make_bbd_solver(cc.bbd, method,
+                                    nested=cc.bbd_nested)
         part = cc.bbd
 
         def solve_J(G, C, c0, rhs):

@@ -139,8 +139,14 @@ class Circuit:
         use_bbd = solver == "bbd" or (solver == "auto"
                                       and cc.n > 1536)
         if use_bbd:
-            from .bbd_assemble import partition_circuit
+            from .bbd_assemble import nested_border_partition, \
+                partition_circuit
             cc.bbd = partition_circuit(cc, block_size=block_size)
+            if cc.bbd is not None and cc.bbd.nb >= 1024:
+                # past ~1k border unknowns the single dense Schur
+                # factorization starts to dominate — add a second BBD
+                # level over the border (nested Schur)
+                cc.bbd_nested = nested_border_partition(cc, cc.bbd)
         return cc
 
 
@@ -160,6 +166,7 @@ class CompiledCircuit:
     inst_group: dict                    # inst name -> (gi, slot)
     cache: dict = dataclasses.field(default_factory=dict)  # jitted solvers
     bbd: object = None                  # BBDPartition for large circuits
+    bbd_nested: object = None           # level-2 border partition (Schur)
 
     # ------------------------------------------------------------------ params
     def params0(self):

@@ -261,11 +261,23 @@ def bbd_matvec(part: BBDPartition, T, v):
     return y[:part.n]
 
 
-def make_bbd_solver(part: BBDPartition, method: str | None = None):
+def make_bbd_solver(part: BBDPartition, method: str | None = None,
+                    nested: "BBDPartition | None" = None):
     """Build solve(D, E, F, B, f) -> dx for the BBD system.
 
     D [K,bs,bs], E [K,bs,nbl], F [K,nbl,bs], B [(nb+1),(nb+1)] (slot nb is
     the pad target), f is the GLOBAL residual vector [n]; returns global dx.
+
+    `nested`: a BBDPartition over the nb BORDER unknowns (build it with
+    `mna.bbd_assemble.nested_border_partition` — its fill graph must cover
+    every Schur-complement nonzero: B's device edges plus one clique per
+    block bmap). When given, the dense (nb+1)^2 Schur factorization is
+    replaced by a second BBD level: gather S into (D2, E2, F2, B2) and
+    recurse, so the border cost drops from O(nb^3) to
+    O(K2*bs2^3 + nb2^3) — the KLU-at-scale answer for 50k+ unknown
+    circuits whose single dense border would otherwise dominate
+    (reference c6288 regime, `benchmarks/vacask/README.md:87-122`).
+    S is still formed densely, so memory stays O(nb^2).
     """
     method = method or solve_method_for_backend()
     K, bs, nb, nbl = part.K, part.bs, part.nb, part.nbl
@@ -304,6 +316,25 @@ def make_bbd_solver(part: BBDPartition, method: str | None = None):
     xk_pos = jnp.asarray(np.where(validk)[0], jnp.int32)
     dx_rows = jnp.asarray(blk_rows.reshape(-1)[validk], jnp.int32)
 
+    if nested is not None:
+        assert nested.n == nb, (nested.n, nb)
+        # border-local gather maps for the level-2 system; pad -> slot nb,
+        # whose S row/column is zeroed before the gathers (so ghost slots
+        # read 0 and the recursive solver's own ghost-identity fix and
+        # pad handling apply unchanged)
+        blk2 = np.full((nested.K, nested.bs), nb, np.int64)
+        bor2 = np.full(nested.nb + 1, nb, np.int64)
+        for i in range(nb):
+            if nested.block_of[i] >= 0:
+                blk2[nested.block_of[i], nested.local_of[i]] = i
+            else:
+                bor2[nested.local_of[i]] = i
+        bmap2g = bor2[np.asarray(nested.bmap)]          # [K2, nbl2]
+        blk2_j = jnp.asarray(blk2)
+        bor2_j = jnp.asarray(bor2)
+        bmap2g_j = jnp.asarray(bmap2g)
+        solve2 = make_bbd_solver(nested, method)
+
     def solve(D, E, F, B, f):
         # run the factorization/Schur math in the matrix dtype (f32 on
         # TPU: assembly stores the Jacobian tensors in f32 there; the
@@ -335,10 +366,20 @@ def make_bbd_solver(part: BBDPartition, method: str | None = None):
             -FS.reshape(-1)[fs_pos]).reshape(nb + 1, nb + 1)
         Ff = jnp.einsum("kib,kb->ki", F, Dinvf)     # [K, nbl]
         rb = fb.at[rb_rows].add(-Ff.reshape(-1)[ff_pos])
-        # pad slot: identity row
-        S = S.at[nb, :].set(0.0).at[:, nb].set(0.0).at[nb, nb].set(1.0)
         rb = rb.at[nb].set(0.0)
-        xb = factorize(S, method).solve(rb).astype(dt)
+        if nested is None:
+            # pad slot: identity row
+            S = S.at[nb, :].set(0.0).at[:, nb].set(0.0).at[nb, nb].set(1.0)
+            xb = factorize(S, method).solve(rb).astype(dt)
+        else:
+            # zero the pad row/column so every ghost gather reads 0
+            S = S.at[nb, :].set(0.0).at[:, nb].set(0.0)
+            D2 = S[blk2_j[:, :, None], blk2_j[:, None, :]]
+            E2 = S[blk2_j[:, :, None], bmap2g_j[:, None, :]]
+            F2 = S[bmap2g_j[:, :, None], blk2_j[:, None, :]]
+            B2 = S[bor2_j[:, None], bor2_j[None, :]]
+            xb2 = solve2(D2, E2, F2, B2, rb[:nb])
+            xb = jnp.concatenate([xb2.astype(dt), jnp.zeros(1, dt)])
 
         xb_local = xb[bmap_j]                        # [K, nbl]
         xk = Dinvf - jnp.einsum("kbj,kj->kb", DinvE, xb_local)

@@ -17,7 +17,7 @@ def have_sources() -> bool:
     return os.path.exists(MULT_INC)
 
 
-def build_deck(access_r: bool = False) -> str:
+def build_deck(access_r: bool = False, copies: int = 1) -> str:
     if access_r:
         nbody = ("  rd d di 150\n  mn di g si b nch w={w} l={l}\n"
                  "  rs si s 150")
@@ -42,11 +42,15 @@ def build_deck(access_r: bool = False) -> str:
     drv = ["vdd vdd 0 1.2", "vss vss 0 0",
            ".subckt v01 out ref\n  vdrv int 0 pulse 0 1.2 0.1n 0.1n\n"
            "  rdrv int out 1\n.ends"]
-    for i in range(16):
-        drv.append(f"xa{i} a{i} 0 v01")
-        drv.append(f"xb{i} b{i} 0 v01")
-    ports = " ".join([f"a{i}" for i in range(16)]
-                     + [f"b{i}" for i in range(16)]
-                     + [f"p{i}" for i in range(32)])
+    insts = []
+    for m in range(copies):
+        p = f"m{m}_" if copies > 1 else ""
+        for i in range(16):
+            drv.append(f"xa{p}{i} {p}a{i} 0 v01")
+            drv.append(f"xb{p}{i} {p}b{i} 0 v01")
+        ports = " ".join([f"{p}a{i}" for i in range(16)]
+                         + [f"{p}b{i}" for i in range(16)]
+                         + [f"{p}p{i}" for i in range(32)])
+        insts.append(f"x{m + 1} {ports} c6288")
     return ("c6288\n" + models + mult + "\n" + "\n".join(drv)
-            + f"\nx1 {ports} c6288\n")
+            + "\n" + "\n".join(insts) + "\n")

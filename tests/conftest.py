@@ -16,3 +16,27 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# Integration group (reference runtests.jl ARGS groups `core` vs
+# `integration`, `test/runtests.jl:8-18`): heavy compile-everything and
+# scale tests are opt-in via CADNIP_INTEGRATION=1 so the core suite
+# stays in CLAUDE.md's "minutes" budget.
+RUN_INTEGRATION = os.environ.get("CADNIP_INTEGRATION", "") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "integration: heavy compile/scale test (opt-in via "
+        "CADNIP_INTEGRATION=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_INTEGRATION:
+        return
+    skip = pytest.mark.skip(reason="integration group: set "
+                            "CADNIP_INTEGRATION=1 to run")
+    for item in items:
+        if "integration" in item.keywords:
+            item.add_marker(skip)

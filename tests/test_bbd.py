@@ -140,6 +140,7 @@ def test_c6288_uic_transient_reduced_span():
     assert np.isfinite(xs).all()
 
 
+@pytest.mark.integration
 def test_c6288_access_r_partition_at_reference_node_count():
     """The access-resistor variant (two internal nodes per FET — the
     physical role of the reference wrappers' ld/ls access geometry)
@@ -169,4 +170,68 @@ def test_c6288_access_r_partition_at_reference_node_count():
     dx = solve(*G, -F)
     assert bool(jnp.isfinite(dx).all())
     r = bbd_matvec(part, G, dx) + F
+    assert float(jnp.max(jnp.abs(r))) < 1e-10 * float(jnp.max(jnp.abs(F)))
+
+
+@pytest.mark.integration
+def test_c6288_dual_macro_partition_beyond_50k_unknowns():
+    """Two c6288 access-resistor macros sharing the supply rails — a
+    32-bit-datapath-slice-sized netlist. 50,756 unknowns, past the
+    reference's half-scale point toward its 212k-unknown c6288 proof
+    (`benchmarks/vacask/README.md:87-89`); the BBD path must still
+    partition (rails are hubs -> border) and solve exactly."""
+    from c6288_util import build_deck, have_sources
+    if not have_sources():
+        pytest.skip("reference benchmark netlist not available")
+    import cadnip_tpu as ct
+    from cadnip_tpu.mna.assemble import pad_state
+    from cadnip_tpu.mna.bbd_assemble import make_bbd_assembler
+    from cadnip_tpu.ops.bbd import bbd_matvec, make_bbd_solver
+
+    cc = ct.parse_spice(build_deck(access_r=True, copies=2))
+    assert cc.n > 50000
+    part = cc.bbd
+    assert part is not None
+    assert part.nb < cc.n * 0.2
+    assemble = make_bbd_assembler(cc, part)
+    solve = make_bbd_solver(part, None)
+    params = cc.params0()
+    dyn = cc.spec.dyn(gshunt=1e-2)
+    x = jnp.zeros(cc.n)
+    lim = assemble.init_lim(pad_state(x))
+    F, Q, G, C, lim = assemble(pad_state(x), lim, params, dyn)
+    dx = solve(*G, -F)
+    assert bool(jnp.isfinite(dx).all())
+    r = bbd_matvec(part, G, dx) + F
+    assert float(jnp.max(jnp.abs(r))) < 1e-10 * float(jnp.max(jnp.abs(F)))
+
+
+def test_nested_schur_matches_dense_border():
+    """Level-2 (nested) Schur border solve returns the same correction
+    as the single dense border factorization (exact direct method both
+    ways), on the 5k c6288 whose border is 931 unknowns."""
+    from c6288_util import build_deck, have_sources
+    if not have_sources():
+        pytest.skip("reference benchmark netlist not available")
+    import cadnip_tpu as ct
+    from cadnip_tpu.mna.assemble import pad_state
+    from cadnip_tpu.mna.bbd_assemble import make_bbd_assembler, \
+        nested_border_partition
+    from cadnip_tpu.ops.bbd import bbd_matvec, make_bbd_solver
+
+    cc = ct.parse_spice(build_deck())
+    part = cc.bbd
+    p2 = nested_border_partition(cc, part)
+    assert p2 is not None and p2.nb < part.nb
+    assemble = make_bbd_assembler(cc, part)
+    params = cc.params0()
+    dyn = cc.spec.dyn(gshunt=1e-2)
+    x = jnp.zeros(cc.n)
+    lim = assemble.init_lim(pad_state(x))
+    F, Q, G, C, lim = assemble(pad_state(x), lim, params, dyn)
+    dx_dense = make_bbd_solver(part, None)(*G, -F)
+    dx_nested = make_bbd_solver(part, None, nested=p2)(*G, -F)
+    scale = float(jnp.max(jnp.abs(dx_dense)))
+    assert float(jnp.max(jnp.abs(dx_nested - dx_dense))) < 1e-9 * scale
+    r = bbd_matvec(part, G, dx_nested) + F
     assert float(jnp.max(jnp.abs(r))) < 1e-10 * float(jnp.max(jnp.abs(F)))

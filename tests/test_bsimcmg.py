@@ -98,6 +98,7 @@ def test_bsimcmg_nmos_dc(cmg):
     assert id_lo < id_full / 100.0
 
 
+@pytest.mark.integration
 def test_bsimcmg_inverter_transfer(cmg):
     # the reference inverter (inverter_cmg_cedar.cir topology): nmos_lvt +
     # pmos_lvt, load cap; DC transfer must swing rail to rail, inverting

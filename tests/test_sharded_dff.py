@@ -17,6 +17,7 @@ from cadnip_tpu.parallel.mesh import sharded_transweep, sweep_mesh
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs the 8-virtual-device CPU mesh")
+@pytest.mark.integration
 def test_sharded_1024way_dff_matches_local():
     cc = ct.parse_spice(dff_netlist())
     # 1024 Monte-Carlo lanes over load cap + driver widths; span covers

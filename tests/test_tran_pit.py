@@ -48,6 +48,7 @@ def test_rc_closed_form():
     assert rmse < 1e-6, rmse
 
 
+@pytest.mark.integration
 def test_graetz_vs_serial():
     """Window Newton on the diode rectifier: converges through diode
     switching, matches the adaptive serial runner to its own LTE, and

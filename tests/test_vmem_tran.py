@@ -43,6 +43,7 @@ def test_rc_matches_xla_runner():
     assert np.abs(v - vr).max() < 1e-2
 
 
+@pytest.mark.integration
 def test_graetz_matches_xla_runner():
     cc = ct.parse_spice(GRAETZ)
     assert supported(cc)
