@@ -193,6 +193,48 @@ def fastest_timescale(cc: CompiledCircuit) -> float:
     return float(tmin)
 
 
+def common_period(cc: CompiledCircuit) -> float:
+    """Least common period of every time-varying source, or nan.
+
+    Eligibility gate for PERIODIC WINDOW SEEDING: when the window span
+    is an integer number of source periods, window k+1 sees the exact
+    same source phase as window k, so the previous window's full
+    waveform is a near-perfect Newton seed (the circuit drifts toward
+    periodic steady state; consecutive periods differ only by the
+    per-period envelope drift). Damped sines, delayed/aperiodic
+    sources, PWL/EXP/SFFM disqualify."""
+    from ..mna.waveforms import WAVE_DC, WAVE_PULSE, WAVE_SIN
+    periods = []
+    for g in cc.groups:
+        if g.waves is None:
+            continue
+        for w in g.waves:
+            c = w.coeffs
+            if w.kind == WAVE_DC:
+                continue
+            if w.kind == WAVE_SIN:
+                # damped (theta) or delayed sin is not phase-pure
+                if c[2] <= 0 or (len(c) > 3 and c[3] != 0) \
+                        or (len(c) > 4 and c[4] != 0):
+                    return float("nan")
+                periods.append(1.0 / c[2])
+            elif w.kind == WAVE_PULSE:
+                per = c[6] if len(c) > 6 else float("inf")
+                if not np.isfinite(per) or per >= 1e29:
+                    return float("nan")
+                periods.append(float(per))
+            else:
+                return float("nan")
+    if not periods:
+        return float("nan")
+    P = max(periods)
+    for p in periods:
+        k = P / p
+        if abs(k - round(k)) > 1e-9:
+            return float("nan")
+    return float(P)
+
+
 def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
     """Grid sizes coarsest→finest for the seeding ladder (finest = W).
 
@@ -212,12 +254,20 @@ def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
 
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     max_iters: int = 40, coarsen: int = 8,
-                    coarse_min: int = 32):
+                    coarse_min: int = 32, seeded: bool = False):
     """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
     (xs [n_win*W, n], its [n_win], done [n_win], carry) where carry =
     (x, Q, qdot, lim) at the last point — the host chains executions of
     n_win windows each (one long execution faults the axon backend,
-    CLAUDE.md ~45 s pathology)."""
+    CLAUDE.md ~45 s pathology).
+
+    seeded=True builds the PERIODIC-SEEDING variant: the carry also
+    holds the previous window's full waveform Xprev [W, n] and every
+    window runs ONE finest-grid Newton seeded at Xprev — no
+    coarse-to-fine ladder, no constant-seed crawl. Valid when the
+    window span is an integer number of source periods (see
+    `common_period`); the caller solves the first window with the
+    ladder runner to produce the initial Xprev."""
     assemble = make_assembler(cc)
     n = cc.n
     grids = level_grids(W, coarsen, coarse_min)
@@ -269,7 +319,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
         return jax.vmap(assemble, in_axes=(0, 0, None, dyn_axes))(
             X, lim, params, dynv)
 
-    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0):
+    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0, Xprev=None):
 
         def newton_level(tw_l, c0_l, Wl, X0, Q_last, qd_last, be,
                          miters, mdv):
@@ -394,6 +444,16 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     cond, body, init)
             return X, lim, it, done
 
+        def win_body_seeded(carry, tw):
+            x_last, Q_last, qd_last, lim_last, Xprev = carry
+            X, lim, it, done = newton_level(
+                tw, 2.0 / dt, W, Xprev, Q_last, qd_last, False,
+                max(max_iters, 64), max_dv)
+            dynv = dyn0._replace(time=tw)
+            F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
+            carry = (X[-1], Q[-1], -F[-1], lim[-1], X)
+            return carry, (X, it[None], done)
+
         def win_body(carry, tw):
             x_last, Q_last, qd_last, lim_last = carry
             # Coarse-to-fine seeding ladder. Window Newton from a
@@ -453,8 +513,13 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
 
         times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
                  ).reshape(n_win, W)
-        carry0 = (x0, q0, qd0, lim0)
-        carry, (Xs, its, dones) = jax.lax.scan(win_body, carry0, times)
+        if seeded:
+            carry0 = (x0, q0, qd0, lim0, Xprev)
+            carry, (Xs, its, dones) = jax.lax.scan(
+                win_body_seeded, carry0, times)
+        else:
+            carry0 = (x0, q0, qd0, lim0)
+            carry, (Xs, its, dones) = jax.lax.scan(win_body, carry0, times)
         return Xs.reshape(n_win * W, n), its, dones, carry
 
     return run
@@ -462,22 +527,45 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
 
 def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
              max_iters: int = 40, x0=None, uic: bool = False, ic=None,
-             params=None, windows_per_exec: int = 64, coarsen: int = 8):
+             params=None, windows_per_exec: int = 64, coarsen: int = 8,
+             periodic: str = "auto"):
     """Fixed-step trapezoidal transient via window-parallel Newton.
 
     Saves every step: ts = t0 + dt*[0..n_steps]. Same initial-condition
     semantics as `tran` (DC operating point at t0 in TRANOP mode, or
     `uic` start from zeros/.ic pins). The run executes in host-chained
     chunks of `windows_per_exec` windows (bounded single-execution time
-    for the axon backend; also bounds device output memory)."""
+    for the axon backend; also bounds device output memory).
+
+    periodic="auto": when every source is periodic with a common period
+    P that divides into dt-steps, the window length is snapped to an
+    integer number of periods and every window after the first is
+    Newton-seeded with the PREVIOUS window's full waveform (same source
+    phase, one period earlier) — typically ~2-4 iterations per window
+    with no seeding ladder at all, vs a 15-25-iteration constant-seed
+    crawl. periodic="off" disables."""
     if not supported(cc):
         raise ValueError("circuit not supported by the PIT runner")
     spec = cc.spec
     t0f, tstop = float(tspan[0]), float(tspan[1])
     n_steps = int(round((tstop - t0f) / dt))
     W = int(min(window, n_steps))
+    # periodic window seeding eligibility
+    psteps = 0
+    if periodic == "auto":
+        P = common_period(cc)
+        if np.isfinite(P):
+            k = P / dt
+            if abs(k - round(k)) < 1e-6 and round(k) >= 8:
+                psteps = int(round(k))
+    if psteps and n_steps >= 2 * psteps:
+        # snap W to a whole number of periods (at least one)
+        W = psteps * max(1, W // psteps)
+    else:
+        psteps = 0
     n_win = (n_steps + W - 1) // W
     n_exec = min(int(windows_per_exec), n_win)
+    use_seeded = bool(psteps) and n_win >= 2
 
     dyn_op = spec.dyn(mode=MODE_TRANOP, time=t0f)
     if params is None:
@@ -510,27 +598,65 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         coarse_min = int(max(32, int(np.ceil(W * dt / max(tmin, dt)))))
     else:
         coarse_min = 32
-    key = ("tran_pit", W, n_exec, max_iters, coarsen, coarse_min)
-    if key not in cc.cache:
-        run = make_pit_runner(cc, W, n_exec, max_iters, coarsen,
-                              coarse_min)
-        cc.cache[key] = cc.jit(run)
-    run = cc.cache[key]
     dyn0 = spec.dyn(mode=MODE_TRAN, time=t0f)
     carry = (x0, q0, qd0, lim0)
     xs_parts, nn, all_done = [], 0, True
-    for e in range((n_win + n_exec - 1) // n_exec):
-        te = t0f + e * n_exec * W * dt
-        xs_e, its, dones, carry = run(*carry, jnp.asarray(te, DTYPE),
-                                      jnp.asarray(dt, DTYPE), params, dyn0)
-        xs_parts.append(xs_e)
-        nn += int(np.asarray(jnp.sum(its)))
-        all_done = all_done and bool(np.asarray(jnp.all(dones)))
+
+    def _dbg(e, its, dones):
         if os.environ.get("CADNIP_PIT_DEBUG"):
             import sys
             print(f"  exec {e}: its={np.asarray(its).tolist()} "
                   f"dones={np.asarray(dones).astype(int).tolist()}",
                   file=sys.stderr, flush=True)
+
+    if use_seeded:
+        # window 0: the ladder runner (constant-seed coarse-to-fine);
+        # windows 1..: the seeded runner, previous window as the seed
+        key0 = ("tran_pit", W, 1, max_iters, coarsen, coarse_min)
+        if key0 not in cc.cache:
+            cc.cache[key0] = cc.jit(make_pit_runner(
+                cc, W, 1, max_iters, coarsen, coarse_min))
+        xs_e, its, dones, carry = cc.cache[key0](
+            *carry, jnp.asarray(t0f, DTYPE), jnp.asarray(dt, DTYPE),
+            params, dyn0)
+        xs_parts.append(xs_e)
+        nn += int(np.asarray(jnp.sum(its)))
+        all_done = bool(np.asarray(jnp.all(dones)))
+        _dbg("w0", its, dones)
+        Xprev = xs_e
+        ns = min(n_exec, n_win - 1)
+        keyp = ("tran_pit_seeded", W, ns, max_iters)
+        if keyp not in cc.cache:
+            cc.cache[keyp] = cc.jit(make_pit_runner(
+                cc, W, ns, max_iters, seeded=True))
+        runp = cc.cache[keyp]
+        rem = n_win - 1
+        for e in range((rem + ns - 1) // ns):
+            te = t0f + (1 + e * ns) * W * dt
+            xs_e, its, dones, carry5 = runp(
+                *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
+                params, dyn0, Xprev)
+            carry, Xprev = carry5[:4], carry5[4]
+            xs_parts.append(xs_e)
+            nn += int(np.asarray(jnp.sum(its)))
+            all_done = all_done and bool(np.asarray(jnp.all(dones)))
+            _dbg(e, its, dones)
+    else:
+        key = ("tran_pit", W, n_exec, max_iters, coarsen, coarse_min)
+        if key not in cc.cache:
+            run = make_pit_runner(cc, W, n_exec, max_iters, coarsen,
+                                  coarse_min)
+            cc.cache[key] = cc.jit(run)
+        run = cc.cache[key]
+        for e in range((n_win + n_exec - 1) // n_exec):
+            te = t0f + e * n_exec * W * dt
+            xs_e, its, dones, carry = run(*carry, jnp.asarray(te, DTYPE),
+                                          jnp.asarray(dt, DTYPE), params,
+                                          dyn0)
+            xs_parts.append(xs_e)
+            nn += int(np.asarray(jnp.sum(its)))
+            all_done = all_done and bool(np.asarray(jnp.all(dones)))
+            _dbg(e, its, dones)
     xs = jnp.concatenate([x0[None, :]] + xs_parts, 0)[:n_steps + 1]
     ts = t0f + dt * np.arange(n_steps + 1)
     stats = TranStats(naccept=jnp.int32(n_steps), nreject=jnp.int32(0),

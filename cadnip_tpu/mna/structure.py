@@ -232,7 +232,13 @@ class CompiledCircuit:
         c6288 at -O0 (`benchmarks/vacask/run_benchmarks.jl:244-252`)."""
         import jax as _jax
         big = any(g.model.va_setup is not None for g in self.groups)
-        if big and _jax.default_backend() == "cpu":
+        # effective platform: a `with jax.default_device(cpu)` context
+        # (the hybrid CPU-DC/TPU-transient flow for PSP-class circuits)
+        # must hit the CPU compiler options even when the process default
+        # backend is the TPU
+        eff = getattr(_jax.config, "jax_default_device", None)
+        plat = eff.platform if eff is not None else _jax.default_backend()
+        if big and plat == "cpu":
             kw.setdefault("compiler_options",
                           {"xla_disable_hlo_passes": "fusion"})
         return _jax.jit(fn, **kw)
