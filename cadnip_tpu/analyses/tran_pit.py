@@ -262,12 +262,18 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     CLAUDE.md ~45 s pathology).
 
     seeded=True builds the PERIODIC-SEEDING variant: the carry also
-    holds the previous window's full waveform Xprev [W, n] and every
-    window runs ONE finest-grid Newton seeded at Xprev — no
-    coarse-to-fine ladder, no constant-seed crawl. Valid when the
-    window span is an integer number of source periods (see
-    `common_period`); the caller solves the first window with the
-    ladder runner to produce the initial Xprev."""
+    holds the TWO previous windows' full waveforms Xprev/Xprev2 [W, n]
+    and every window runs ONE finest-grid Newton seeded at the linear
+    envelope extrapolation Xprev + (Xprev - Xprev2) — no coarse-to-fine
+    ladder, no constant-seed crawl. The extrapolation matters during
+    startup (cap-charging drift): plain Xprev seeding cost 40
+    iterations on graetz's second window vs 2-4 once periodic steady
+    state is near (measured); the secant through consecutive periods
+    tracks the envelope. Valid when the window span is an integer
+    number of source periods (see `common_period`); the caller solves
+    the first window with the ladder runner to produce the initial
+    Xprev (and passes Xprev2=Xprev, degenerating to plain seeding for
+    the first seeded window)."""
     assemble = make_assembler(cc)
     n = cc.n
     grids = level_grids(W, coarsen, coarse_min)
@@ -319,7 +325,8 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
         return jax.vmap(assemble, in_axes=(0, 0, None, dyn_axes))(
             X, lim, params, dynv)
 
-    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0, Xprev=None):
+    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0, Xprev=None,
+            Xprev2=None):
 
         def newton_level(tw_l, c0_l, Wl, X0, Q_last, qd_last, be,
                          miters, mdv):
@@ -445,13 +452,14 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
             return X, lim, it, done
 
         def win_body_seeded(carry, tw):
-            x_last, Q_last, qd_last, lim_last, Xprev = carry
+            x_last, Q_last, qd_last, lim_last, Xprev, Xprev2 = carry
+            X0 = Xprev + (Xprev - Xprev2)
             X, lim, it, done = newton_level(
-                tw, 2.0 / dt, W, Xprev, Q_last, qd_last, False,
+                tw, 2.0 / dt, W, X0, Q_last, qd_last, False,
                 max(max_iters, 64), max_dv)
             dynv = dyn0._replace(time=tw)
             F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
-            carry = (X[-1], Q[-1], -F[-1], lim[-1], X)
+            carry = (X[-1], Q[-1], -F[-1], lim[-1], X, Xprev)
             return carry, (X, it[None], done)
 
         def win_body(carry, tw):
@@ -514,7 +522,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
         times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
                  ).reshape(n_win, W)
         if seeded:
-            carry0 = (x0, q0, qd0, lim0, Xprev)
+            carry0 = (x0, q0, qd0, lim0, Xprev, Xprev2)
             carry, (Xs, its, dones) = jax.lax.scan(
                 win_body_seeded, carry0, times)
         else:
@@ -623,7 +631,7 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         nn += int(np.asarray(jnp.sum(its)))
         all_done = bool(np.asarray(jnp.all(dones)))
         _dbg("w0", its, dones)
-        Xprev = xs_e
+        Xprev = Xprev2 = xs_e
         ns = min(n_exec, n_win - 1)
         keyp = ("tran_pit_seeded", W, ns, max_iters)
         if keyp not in cc.cache:
@@ -633,10 +641,10 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         rem = n_win - 1
         for e in range((rem + ns - 1) // ns):
             te = t0f + (1 + e * ns) * W * dt
-            xs_e, its, dones, carry5 = runp(
+            xs_e, its, dones, carry6 = runp(
                 *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
-                params, dyn0, Xprev)
-            carry, Xprev = carry5[:4], carry5[4]
+                params, dyn0, Xprev, Xprev2)
+            carry, Xprev, Xprev2 = carry6[:4], carry6[4], carry6[5]
             xs_parts.append(xs_e)
             nn += int(np.asarray(jnp.sum(its)))
             all_done = all_done and bool(np.asarray(jnp.all(dones)))

@@ -70,6 +70,43 @@ def test_graetz_vs_serial():
     assert 10.0 < v[late].min() < v[late].max() < 20.0
 
 
+def test_periodic_seeding_matches_ladder():
+    """PERIODIC WINDOW SEEDING (windows snapped to the source period,
+    each window Newton-seeded by the envelope extrapolation of the two
+    previous windows) must produce the same waveform as the plain
+    coarse-to-fine ladder — same grid, same trap recursion, only the
+    Newton seeds differ."""
+    deck = """half-wave rectifier, fast source
+.model dfast d is=1e-14 n=1.8 cjo=1p
+vs in 0 dc 0 sin 0 5 1e6
+d1 in out dfast
+cl out 0 100p
+rl out 0 10k
+.end
+"""
+    cc = ct.parse_spice(deck)
+    # 10 periods of 1 MHz at dt=1ns: psteps=1000, window snaps to 1000
+    sol = tran_pit(cc, (0, 1e-5), 1e-9, window=1000, windows_per_exec=4)
+    assert not bool(np.asarray(sol.stats.fail))
+    ref = tran_pit(cc, (0, 1e-5), 1e-9, window=1000, windows_per_exec=4,
+                   periodic="off")
+    assert not bool(np.asarray(ref.stats.fail))
+    v = np.asarray(sol["out"])
+    vr = np.asarray(ref["out"])
+    rmse = float(np.sqrt(np.mean((v - vr) ** 2)))
+    # both paths stop at Newton tolerance, not at roundoff: gate at
+    # 1e-6 RELATIVE to the 5 V amplitude (measured 1.5e-6 absolute)
+    assert rmse < 5e-6, rmse
+    # physics: RC equals one period, so the ripple is large — the last
+    # period peaks near 5 V minus a diode drop and sags to ~1.9 V
+    last = v[-1000:]
+    assert 3.0 < last.max() < 5.0 and 1.0 < last.min() < 3.0
+    # the seeded run must actually have taken the seeded path (fewer
+    # total window-iters than the ladder's constant-seed crawl)
+    assert int(np.asarray(sol.stats.nnewton)) < int(
+        np.asarray(ref.stats.nnewton))
+
+
 def test_unsupported_bbd():
     """BBD-partitioned circuits fall back to the serial runner."""
     cc = ct.parse_spice(RC)
