@@ -28,6 +28,7 @@ from .frontend.elaborate import (  # noqa: E402
 from .frontend.netlist import alter_text  # noqa: E402
 from .frontend.introspect import (  # noqa: E402
     find, op_table, query, summary)
+from .frontend.explore import explore, Explorer  # noqa: E402
 
 __all__ = [
     "Circuit", "CompiledCircuit", "SimSpec", "DeviceModel", "devices",
@@ -40,7 +41,7 @@ __all__ = [
     "dcsweep", "transweep", "montecarlo_table", "dc_sensitivity",
     "parse_spice", "simulate", "circuit_from_file", "register_pdk",
     "alter_text",
-    "find", "op_table", "query", "summary",
+    "find", "op_table", "query", "summary", "explore", "Explorer",
 ]
 
 __version__ = "0.1.0"
