@@ -235,6 +235,32 @@ def common_period(cc: CompiledCircuit) -> float:
     return float(P)
 
 
+def detect_period(xs, dt, min_cross=6, max_spread=0.02):
+    """Oscillation period from a solved prefix, or None.
+
+    Picks the unknown with the largest swing, finds rising crossings of
+    its mid-level (sub-step resolution via linear interpolation), and
+    accepts when the last few periods agree to `max_spread` relative.
+    Host-side and cheap — runs between chained executions."""
+    xs = np.asarray(xs)
+    swing = xs.max(0) - xs.min(0)
+    j = int(np.argmax(swing))
+    v = xs[:, j]
+    if swing[j] <= 0:
+        return None
+    s = v - 0.5 * (v.max() + v.min())
+    idx = np.where((s[:-1] < 0) & (s[1:] >= 0))[0]
+    if len(idx) < min_cross:
+        return None
+    frac = -s[idx] / (s[idx + 1] - s[idx])
+    tc = (idx + frac) * dt
+    per = np.diff(tc[-min(len(tc), 8):])
+    P = float(np.mean(per))
+    if P <= 2 * dt or float(np.std(per)) > max_spread * P:
+        return None
+    return P
+
+
 def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
     """Grid sizes coarsest→finest for the seeding ladder (finest = W).
 
@@ -273,7 +299,8 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     number of source periods (see `common_period`); the caller solves
     the first window with the ladder runner to produce the initial
     Xprev (and passes Xprev2=Xprev, degenerating to plain seeding for
-    the first seeded window)."""
+    the first seeded window). AUTONOMOUS oscillators reuse the same
+    runner with a MEASURED period (see `tran_pit(osc=True)`)."""
     assemble = make_assembler(cc)
     n = cc.n
     grids = level_grids(W, coarsen, coarse_min)
@@ -536,7 +563,8 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
 def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
              max_iters: int = 40, x0=None, uic: bool = False, ic=None,
              params=None, windows_per_exec: int = 64, coarsen: int = 8,
-             periodic: str = "auto"):
+             periodic: str = "auto", osc: bool = False,
+             osc_window: int = 64):
     """Fixed-step trapezoidal transient via window-parallel Newton.
 
     Saves every step: ts = t0 + dt*[0..n_steps]. Same initial-condition
@@ -551,7 +579,16 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     Newton-seeded with the PREVIOUS window's full waveform (same source
     phase, one period earlier) — typically ~2-4 iterations per window
     with no seeding ladder at all, vs a 15-25-iteration constant-seed
-    crawl. periodic="off" disables."""
+    crawl. periodic="off" disables.
+
+    osc=True: AUTONOMOUS-oscillator mode (ring oscillators — no
+    periodic source to snap to). Solves short `osc_window` ladder
+    windows until the host detects a stable oscillation period from
+    the waveform itself (`detect_period`), then switches to the
+    periodic-seeding runner with the window snapped to ~m measured
+    periods, the first seed tiled from the last solved period. Falls
+    back to short ladder windows for the whole span when no stable
+    period appears."""
     if not supported(cc):
         raise ValueError("circuit not supported by the PIT runner")
     spec = cc.spec
@@ -617,7 +654,101 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                   f"dones={np.asarray(dones).astype(int).tolist()}",
                   file=sys.stderr, flush=True)
 
-    if use_seeded:
+    if osc and not use_seeded and n_steps >= 2 * osc_window:
+        # ---- autonomous-oscillator mode (the VACASK `ring` shape).
+        # Window Newton diverges on an oscillator at long spans: the
+        # constant seed carries no phase information and the coupled
+        # trap recursion leaves the oscillation basin entirely
+        # (measured on the PSP103 ring: W=2048 hit +-5 V on a 1.2 V
+        # circuit). Phase A therefore solves SHORT constant-seed
+        # windows while the host watches for a stable period between
+        # chained executions; phase B reuses the PERIODIC-SEEDING
+        # runner with the window snapped to ~m measured periods and
+        # the first seed tiled from the last solved period.
+        Wa = int(min(osc_window, n_steps))
+        done_pts = 0
+        P = None
+
+        def _get_ladder(Wx):
+            keyx = ("tran_pit", Wx, 1, max_iters, coarsen, coarse_min)
+            if keyx not in cc.cache:
+                cc.cache[keyx] = cc.jit(make_pit_runner(
+                    cc, Wx, 1, max_iters, coarsen, coarse_min))
+            return cc.cache[keyx]
+
+        def _ladder_window():
+            # One converged short window. The constant-seed basin is
+            # ~2 oscillation periods (measured: the PSP103 ring
+            # converges at W*dt=1.9 periods, diverges at 3.8) — when a
+            # window fails, DISCARD it and retry the same span with
+            # the window halved, because a diverged window poisons
+            # every window after it.
+            nonlocal done_pts, nn, carry, Wa
+            while True:
+                runx = _get_ladder(Wa)
+                te = jnp.asarray(t0f + done_pts * dt, DTYPE)
+                xs_e, its, dones, carry2 = runx(
+                    *carry, te, jnp.asarray(dt, DTYPE), params, dyn0)
+                nn += int(np.asarray(jnp.sum(its)))
+                ok = bool(np.asarray(jnp.all(dones)))
+                _dbg(f"oscA@{done_pts}+{Wa}", its, dones)
+                if ok or Wa <= 16:
+                    carry = carry2
+                    xs_parts.append(xs_e)
+                    done_pts += Wa
+                    return ok
+                Wa //= 2
+
+        while done_pts + Wa <= n_steps:
+            all_done = _ladder_window() and all_done
+            acc = np.concatenate([np.asarray(p) for p in xs_parts], 0)
+            P = detect_period(acc, dt)
+            if P is not None and done_pts >= int(round(P / dt)) + 2:
+                break
+            P = None
+        if P is not None:
+            pstep_f = P / dt
+            m = max(1, int(round(W / pstep_f)))
+            Wb = int(round(m * pstep_f))
+            rem = n_steps - done_pts
+            n_winB = rem // Wb if Wb >= 8 else 0
+            if n_winB >= 1:
+                pi = max(2, int(round(pstep_f)))
+                tail = acc[-pi:]
+                reps = int(np.ceil(Wb / pi)) + 1
+                Xprev = jnp.asarray(np.tile(tail, (reps, 1))[-Wb:], DTYPE)
+                Xprev2 = Xprev
+                nsB = min(n_exec, n_winB)
+                keyp = ("tran_pit_seeded", Wb, nsB, max_iters)
+                if keyp not in cc.cache:
+                    cc.cache[keyp] = cc.jit(make_pit_runner(
+                        cc, Wb, nsB, max_iters, seeded=True))
+                runp = cc.cache[keyp]
+                for e in range((n_winB + nsB - 1) // nsB):
+                    te = t0f + done_pts * dt
+                    xs_e, its, dones, carry6 = runp(
+                        *carry, jnp.asarray(te, DTYPE),
+                        jnp.asarray(dt, DTYPE), params, dyn0, Xprev,
+                        Xprev2)
+                    nn += int(np.asarray(jnp.sum(its)))
+                    _dbg(f"oscB{e}", its, dones)
+                    if not bool(np.asarray(jnp.all(dones))):
+                        # a failed seeded exec is DISCARDED (a diverged
+                        # window poisons everything downstream); the
+                        # trailing ladder loop re-solves from the last
+                        # good carry
+                        break
+                    carry, Xprev, Xprev2 = (carry6[:4], carry6[4],
+                                            carry6[5])
+                    xs_parts.append(xs_e)
+                    # each exec appends nsB full windows (the last may
+                    # overshoot tstop; truncated below like every path)
+                    done_pts += nsB * Wb
+        # trailing remainder — and the no-period-found fallback:
+        # short ladder windows to the end
+        while done_pts < n_steps:
+            all_done = _ladder_window() and all_done
+    elif use_seeded:
         # window 0: the ladder runner (constant-seed coarse-to-fine);
         # windows 1..: the seeded runner, previous window as the seed
         key0 = ("tran_pit", W, 1, max_iters, coarsen, coarse_min)

@@ -107,6 +107,59 @@ rl out 0 10k
         np.asarray(ref.stats.nnewton))
 
 
+def test_detect_period_synthetic():
+    """Host-side period detection used by the oscillator mode: a clean
+    sine plus harmonics + an aperiodic startup ramp, sub-step accuracy."""
+    from cadnip_tpu.analyses.tran_pit import detect_period
+    dt = 0.05e-9
+    P = 3.4423e-9
+    t = dt * np.arange(1200)
+    grow = np.minimum(t / (4 * P), 1.0)   # startup envelope
+    v = grow * (0.6 * np.sin(2 * np.pi * t / P)
+                + 0.1 * np.sin(4 * np.pi * t / P + 0.7))
+    xs = np.stack([v, 0.01 * v, np.zeros_like(v)], axis=1)
+    Ph = detect_period(xs, dt)
+    assert Ph is not None
+    assert abs(Ph - P) < 0.01 * P
+    # too few crossings -> None
+    assert detect_period(xs[:120], dt) is None
+    # flat -> None
+    assert detect_period(np.zeros((500, 3)), dt) is None
+
+
+@pytest.mark.integration
+def test_oscillator_mode_ring():
+    """Autonomous-oscillator PIT (osc=True) on the level-1 9-stage ring:
+    phase A short-window ladder -> period detection -> phase B
+    periodic-seeded windows. Gates are PHASE-AGNOSTIC (an oscillator
+    amplifies discretization differences into linearly growing phase
+    shift, so pointwise RMSE vs the adaptive runner is meaningless):
+    the detected period, amplitude band, and late crossing count must
+    match the serial runner."""
+    from cadnip_tpu.analyses.tran_pit import detect_period
+    from cadnip_tpu.models.dff import ring_oscillator_netlist
+    cc = ct.parse_spice(ring_oscillator_netlist())
+    span, dt = 150e-9, 0.1e-9
+    ref = ct.tran(cc, (0, span), dt=dt, dtmax=dt)
+    P_ref = detect_period(np.asarray(ref.xs), dt)
+    assert P_ref is not None
+    sol = tran_pit(cc, (0, span), dt, window=1024, windows_per_exec=8,
+                   osc=True, osc_window=64)
+    assert not bool(np.asarray(sol.stats.fail))
+    v = np.asarray(sol["n0"])
+    P_pit = detect_period(np.asarray(sol.xs), dt)
+    assert P_pit is not None
+    assert abs(P_pit - P_ref) < 0.02 * P_ref, (P_pit, P_ref)
+    vr = np.asarray(ref["n0"])
+    h = len(v) // 2
+    assert abs(v[h:].max() - vr[h:].max()) < 0.1
+    assert abs(v[h:].min() - vr[h:].min()) < 0.1
+    s, sr = v[h:] - 2.5, vr[h:] - 2.5
+    nc = int(np.sum((s[:-1] < 0) & (s[1:] >= 0)))
+    ncr = int(np.sum((sr[:-1] < 0) & (sr[1:] >= 0)))
+    assert abs(nc - ncr) <= 1, (nc, ncr)
+
+
 def test_unsupported_bbd():
     """BBD-partitioned circuits fall back to the serial runner."""
     cc = ct.parse_spice(RC)
