@@ -12,6 +12,8 @@ Secondary metrics (stderr, each with its VACASK baseline):
     (VACASK 1.89 s)
   * mul — diode voltage multiplier, FULL `tran 0.01u 5m` span MEASURED
     via the PIT runner (VACASK 0.97 s)
+  * ring — 9-stage PSP103 ring oscillator, FULL `tran 0.05n 1u` span
+    via the autonomous-oscillator PIT runner (VACASK 1.18 s)
   * dff — gf180-style level-1 DFF transient + Newton solves/s
   * dff 1024-way and 4096-way Monte-Carlo sweeps — ms/circuit
   * c6288 — 16x16 CMOS multiplier (10,112 FETs), the reference's own
@@ -80,6 +82,7 @@ d4 2 20 d1n4007
 VACASK_RC = 0.94
 VACASK_GRAETZ = 1.89
 VACASK_MUL = 0.97
+VACASK_RING = 1.18
 VACASK_C6288 = 57.98
 VACASK_C6288_MS_NR = 15.6
 
@@ -193,6 +196,47 @@ def bench_mul():
     return wall
 
 
+def bench_ring():
+    """VACASK `ring`: 9-stage CMOS ring oscillator on PSP 103.4, the
+    reference's own `tran step=0.05n stop=1u` (20,000 fixed points,
+    `/root/reference/benchmarks/vacask/ring/vacask/runme.sim`), via the
+    autonomous-oscillator PIT runner (short-window lead-in -> measured
+    period -> period-snapped seeded windows). Baselines (AMD TR 7970,
+    1 thread): VACASK 1.18 s, Ngspice 1.60 s, Xyce 3.33 s."""
+    import cadnip_tpu as ct  # noqa: F401 (compile side effects)
+    from cadnip_tpu.models import ring
+    from cadnip_tpu.analyses.tran_pit import tran_pit, detect_period
+
+    if not ring.available():
+        log("ring: reference sources unavailable; skipped")
+        return None
+    cc = ring.ring_circuit().compile()
+    kw = dict(window=2048, windows_per_exec=4, osc=True, osc_window=128)
+    t0 = time.perf_counter()
+    sol = tran_pit(cc, (0, 1e-6), 0.05e-9, **kw)
+    np.asarray(sol.xs[-1])
+    log(f"ring warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sol = tran_pit(cc, (0, 1e-6), 0.05e-9, **kw)
+        sol.xs.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    wall = float(np.mean(times))
+    nn = int(np.asarray(sol.stats.nnewton))
+    fail = bool(np.asarray(sol.stats.fail))
+    P = detect_period(np.asarray(sol.xs), 0.05e-9)
+    v1 = np.asarray(sol["1"])
+    ok = (P is not None and 2e-9 < P < 6e-9
+          and -0.3 < v1.min() < 0.1 and 1.0 < v1.max() < 1.5)
+    log(f"ring (PSP103, MEASURED full 1 us span): {wall:.2f}s, "
+        f"{nn} window-iters, period={(P or 0) * 1e9:.3f}ns, "
+        f"v1=[{v1.min():.3f},{v1.max():.3f}] physics_ok={ok} "
+        f"all_converged={not fail} (VACASK {VACASK_RING}s, "
+        f"x{VACASK_RING / wall:.2f}; Ngspice 1.60s, Xyce 3.33s)")
+    return wall
+
+
 def bench_dff():
     import cadnip_tpu as ct
     from cadnip_tpu.models.dff import dff_netlist
@@ -279,6 +323,28 @@ def bench_c6288():
         f"{ms_nr:.2f} ms/NR-iteration at {cc.n} unknowns "
         f"(VACASK: {VACASK_C6288}s total, {VACASK_C6288_MS_NR} ms/NR at "
         f"212k unknowns with PSP103)")
+
+    # access-resistor variant: the reference's exact 25,380-node count
+    # (two internal nodes per FET; nested level-2 Schur border). A
+    # bounded 0.2 ns slice of the same methodology — reported as
+    # MEASURED ms/NR at this size, not a full-span wall clock.
+    cca = ct.parse_spice(build_deck(access_r=True))
+    log(f"c6288-access: n={cca.n}, BBD {cca.bbd.K}x{cca.bbd.bs}, "
+        f"border {cca.bbd.nb}"
+        + (f" -> level-2 {cca.bbd_nested.nb}" if cca.bbd_nested is not None
+           else ""))
+    sol = ct.tran(cca, (0, 2e-10), dt=2e-12, uic=True, max_steps=20000,
+                  n_save=21)
+    sol.xs.block_until_ready()
+    t0 = time.perf_counter()
+    sol = ct.tran(cca, (0, 2e-10), dt=2e-12, uic=True, max_steps=20000,
+                  n_save=21)
+    sol.xs.block_until_ready()
+    wall_a = time.perf_counter() - t0
+    nn_a = int(np.asarray(sol.stats.nnewton))
+    log(f"c6288-access tran 2p 0.2n uic slice: {wall_a:.1f}s, {nn_a} NR "
+        f"iters, {wall_a / max(nn_a, 1) * 1e3:.2f} ms/NR at {cca.n} "
+        f"unknowns (VACASK {VACASK_C6288_MS_NR} ms/NR at 212k)")
     return wall
 
 
@@ -287,6 +353,7 @@ def main():
     rc_wall = bench_rc()
     if only == "all":
         for name, fn in (("graetz", bench_graetz), ("mul", bench_mul),
+                         ("ring", bench_ring),
                          ("dff", bench_dff),
                          ("dff_sweep", bench_dff_sweep),
                          ("dff_sweep4096",

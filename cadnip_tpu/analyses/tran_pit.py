@@ -288,19 +288,20 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     CLAUDE.md ~45 s pathology).
 
     seeded=True builds the PERIODIC-SEEDING variant: the carry also
-    holds the TWO previous windows' full waveforms Xprev/Xprev2 [W, n]
-    and every window runs ONE finest-grid Newton seeded at the linear
-    envelope extrapolation Xprev + (Xprev - Xprev2) — no coarse-to-fine
-    ladder, no constant-seed crawl. The extrapolation matters during
-    startup (cap-charging drift): plain Xprev seeding cost 40
-    iterations on graetz's second window vs 2-4 once periodic steady
-    state is near (measured); the secant through consecutive periods
-    tracks the envelope. Valid when the window span is an integer
-    number of source periods (see `common_period`); the caller solves
-    the first window with the ladder runner to produce the initial
-    Xprev (and passes Xprev2=Xprev, degenerating to plain seeding for
-    the first seeded window). AUTONOMOUS oscillators reuse the same
-    runner with a MEASURED period (see `tran_pit(osc=True)`)."""
+    holds the previous window's full waveform Xprev [W, n] and every
+    window runs ONE finest-grid Newton seeded at Xprev — no
+    coarse-to-fine ladder, no constant-seed crawl. (A secant
+    extrapolation Xprev + (Xprev - Xprev2) was tried and REVERTED:
+    measured on TPU it bought graetz nothing — 221 vs 213 iters — and
+    the overshoot through the diode exponentials diverged the `mul`
+    charge pump outright, 21.6 s fail vs the ladder's 7.3 s.) Valid
+    when the window span is an integer number of source periods (see
+    `common_period`) AND the per-period envelope drift is inside the
+    Newton basin — the driver measures the drift and falls back to the
+    ladder runner when it is large. The caller solves the first window
+    with the ladder runner to produce the initial Xprev. AUTONOMOUS
+    oscillators reuse the same runner with a MEASURED period (see
+    `tran_pit(osc=True)`)."""
     assemble = make_assembler(cc)
     n = cc.n
     grids = level_grids(W, coarsen, coarse_min)
@@ -352,8 +353,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
         return jax.vmap(assemble, in_axes=(0, 0, None, dyn_axes))(
             X, lim, params, dynv)
 
-    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0, Xprev=None,
-            Xprev2=None):
+    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0, Xprev=None):
 
         def newton_level(tw_l, c0_l, Wl, X0, Q_last, qd_last, be,
                          miters, mdv):
@@ -479,15 +479,28 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
             return X, lim, it, done
 
         def win_body_seeded(carry, tw):
-            x_last, Q_last, qd_last, lim_last, Xprev, Xprev2 = carry
-            X0 = Xprev + (Xprev - Xprev2)
-            X, lim, it, done = newton_level(
-                tw, 2.0 / dt, W, X0, Q_last, qd_last, False,
-                max(max_iters, 64), max_dv)
-            dynv = dyn0._replace(time=tw)
-            F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
-            carry = (X[-1], Q[-1], -F[-1], lim[-1], X, Xprev)
-            return carry, (X, it[None], done)
+            # `poisoned`: a diverged window's carry/seed is garbage, so
+            # every window after it would burn its full 64-iteration
+            # budget computing more garbage. Short-circuit them (cheap
+            # skipped trips); the host salvages the converged PREFIX
+            # and restarts (qd = -f(x) is exact on the trajectory).
+            x_last, Q_last, qd_last, lim_last, Xprev, poisoned = carry
+
+            def do(c):
+                x_l, Q_l, qd_l, lim_l, Xp, _ = c
+                X, lim, it, done = newton_level(
+                    tw, 2.0 / dt, W, Xp, Q_l, qd_l, False,
+                    max(max_iters, 64), max_dv)
+                dynv = dyn0._replace(time=tw)
+                F, Q, _, _, _ = vassemble(pad_state(X), lim, params,
+                                          dynv)
+                return ((X[-1], Q[-1], -F[-1], lim[-1], X, ~done),
+                        (X, it[None], done))
+
+            def skip(c):
+                return c, (c[4], jnp.int32(0)[None], jnp.asarray(False))
+
+            return jax.lax.cond(poisoned, skip, do, carry)
 
         def win_body(carry, tw):
             x_last, Q_last, qd_last, lim_last = carry
@@ -549,7 +562,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
         times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
                  ).reshape(n_win, W)
         if seeded:
-            carry0 = (x0, q0, qd0, lim0, Xprev, Xprev2)
+            carry0 = (x0, q0, qd0, lim0, Xprev, jnp.asarray(False))
             carry, (Xs, its, dones) = jax.lax.scan(
                 win_body_seeded, carry0, times)
         else:
@@ -654,6 +667,43 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                   f"dones={np.asarray(dones).astype(int).tolist()}",
                   file=sys.stderr, flush=True)
 
+    def _carry_at(x_cur, t_cur):
+        """Exact restart state at a solved trajectory point: the DAE is
+        f(x) + dq/dt = 0, so qdot = -f(x) ON the trajectory — the same
+        recipe the t0 initialization uses."""
+        keyr = ("pit_rhs",)
+        if keyr not in cc.cache:
+            cc.cache[keyr] = cc.jit(lambda x, p, d: (
+                rhs(pad_state(x), p, d),
+                assemble.init_lim(pad_state(x))))
+        (f1, q1), lim1 = cc.cache[keyr](
+            x_cur, params, dyn0._replace(time=t_cur))
+        return (x_cur, q1, -f1, lim1)
+
+    def _seeded_exec(runp, te, Wb, nsb, Xprev, label):
+        """One seeded exec of nsb windows. On failure, salvage the
+        converged window PREFIX (the poisoned-carry short-circuit makes
+        post-failure windows cheap skips) and restart the carry at the
+        prefix end. Returns (all_ok, n_windows_accepted, Xprev')."""
+        nonlocal carry, nn
+        xs_e, its, dones, carry6 = runp(
+            *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
+            params, dyn0, Xprev)
+        nn += int(np.asarray(jnp.sum(its)))
+        _dbg(label, its, dones)
+        d = np.asarray(dones).ravel()
+        if d.all():
+            carry = carry6[:4]
+            xs_parts.append(xs_e)
+            return True, nsb, carry6[4]
+        k = int(np.argmin(d))          # first failed window
+        if k > 0:
+            xs_np = xs_e[: k * Wb]
+            xs_parts.append(xs_np)
+            carry = _carry_at(xs_np[-1], te + k * Wb * dt)
+            Xprev = xs_np[-Wb:]
+        return False, k, Xprev
+
     if osc and not use_seeded and n_steps >= 2 * osc_window:
         # ---- autonomous-oscillator mode (the VACASK `ring` shape).
         # Window Newton diverges on an oscillator at long spans: the
@@ -717,7 +767,6 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 tail = acc[-pi:]
                 reps = int(np.ceil(Wb / pi)) + 1
                 Xprev = jnp.asarray(np.tile(tail, (reps, 1))[-Wb:], DTYPE)
-                Xprev2 = Xprev
                 nsB = min(n_exec, n_winB)
                 keyp = ("tran_pit_seeded", Wb, nsB, max_iters)
                 if keyp not in cc.cache:
@@ -726,31 +775,29 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 runp = cc.cache[keyp]
                 for e in range((n_winB + nsB - 1) // nsB):
                     te = t0f + done_pts * dt
-                    xs_e, its, dones, carry6 = runp(
-                        *carry, jnp.asarray(te, DTYPE),
-                        jnp.asarray(dt, DTYPE), params, dyn0, Xprev,
-                        Xprev2)
-                    nn += int(np.asarray(jnp.sum(its)))
-                    _dbg(f"oscB{e}", its, dones)
-                    if not bool(np.asarray(jnp.all(dones))):
-                        # a failed seeded exec is DISCARDED (a diverged
-                        # window poisons everything downstream); the
-                        # trailing ladder loop re-solves from the last
-                        # good carry
+                    ok, k, Xprev = _seeded_exec(runp, te, Wb, nsB,
+                                                Xprev, f"oscB{e}")
+                    # each good exec appends nsB full windows (the last
+                    # may overshoot tstop; truncated below); on failure
+                    # the salvaged prefix counts and the trailing
+                    # ladder loop re-solves the rest
+                    done_pts += (nsB if ok else k) * Wb
+                    if not ok:
                         break
-                    carry, Xprev, Xprev2 = (carry6[:4], carry6[4],
-                                            carry6[5])
-                    xs_parts.append(xs_e)
-                    # each exec appends nsB full windows (the last may
-                    # overshoot tstop; truncated below like every path)
-                    done_pts += nsB * Wb
         # trailing remainder — and the no-period-found fallback:
         # short ladder windows to the end
         while done_pts < n_steps:
             all_done = _ladder_window() and all_done
     elif use_seeded:
-        # window 0: the ladder runner (constant-seed coarse-to-fine);
-        # windows 1..: the seeded runner, previous window as the seed
+        # ---- ADAPTIVE periodic seeding. Window 0 always runs the
+        # ladder. Each later exec dispatches the seeded runner unless
+        # the measured per-window envelope drift has previously BROKEN
+        # seeding (self-calibrating gate: no fixed tolerance — graetz's
+        # 17 V startup drift seeds fine at ~40 iters, while `mul`'s
+        # charge pump diverges; only the circuit can tell us which).
+        # A failed seeded exec salvages its converged window prefix and
+        # the failure drift level becomes the gate; seeding is retried
+        # once the drift falls to a quarter of it.
         key0 = ("tran_pit", W, 1, max_iters, coarsen, coarse_min)
         if key0 not in cc.cache:
             cc.cache[key0] = cc.jit(make_pit_runner(
@@ -762,24 +809,59 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         nn += int(np.asarray(jnp.sum(its)))
         all_done = bool(np.asarray(jnp.all(dones)))
         _dbg("w0", its, dones)
-        Xprev = Xprev2 = xs_e
+        Xprev = xs_e
         ns = min(n_exec, n_win - 1)
-        keyp = ("tran_pit_seeded", W, ns, max_iters)
-        if keyp not in cc.cache:
-            cc.cache[keyp] = cc.jit(make_pit_runner(
-                cc, W, ns, max_iters, seeded=True))
-        runp = cc.cache[keyp]
-        rem = n_win - 1
-        for e in range((rem + ns - 1) // ns):
-            te = t0f + (1 + e * ns) * W * dt
-            xs_e, its, dones, carry6 = runp(
+        prev_end, w_prev = np.asarray(x0), 0
+        end = np.asarray(xs_e[-1])
+        drift = float(np.max(np.abs(end - prev_end)))
+        prev_end, w_prev = end, 1
+        fail_drift = np.inf
+        runp = runl = None
+        w = 1
+        while w < n_win:
+            te = t0f + w * W * dt
+            if drift < fail_drift / 4:
+                if runp is None:
+                    keyp = ("tran_pit_seeded", W, ns, max_iters)
+                    if keyp not in cc.cache:
+                        cc.cache[keyp] = cc.jit(make_pit_runner(
+                            cc, W, ns, max_iters, seeded=True))
+                    runp = cc.cache[keyp]
+                ok, k, Xprev = _seeded_exec(runp, te, W, ns, Xprev,
+                                            f"s@{w}")
+                w += k if not ok else ns
+                if ok or k > 0:
+                    end = np.asarray(Xprev[-1])
+                    drift = float(np.max(np.abs(end - prev_end))
+                                  ) / max(w - w_prev, 1)
+                    prev_end, w_prev = end, w
+                if ok:
+                    continue
+                fail_drift = min(fail_drift, max(drift, 1e-12))
+                if w >= n_win:
+                    break
+                te = t0f + w * W * dt
+            # ladder exec (drift outside the seeding basin)
+            if runl is None:
+                keyl = ("tran_pit", W, ns, max_iters, coarsen,
+                        coarse_min)
+                if keyl not in cc.cache:
+                    cc.cache[keyl] = cc.jit(make_pit_runner(
+                        cc, W, ns, max_iters, coarsen, coarse_min))
+                runl = cc.cache[keyl]
+            xs_e, its, dones, carry = runl(
                 *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
-                params, dyn0, Xprev, Xprev2)
-            carry, Xprev, Xprev2 = carry6[:4], carry6[4], carry6[5]
+                params, dyn0)
             xs_parts.append(xs_e)
             nn += int(np.asarray(jnp.sum(its)))
             all_done = all_done and bool(np.asarray(jnp.all(dones)))
-            _dbg(e, its, dones)
+            _dbg(f"l@{w}", its, dones)
+            Xprev = xs_e[-W:]
+            w += ns
+            end = np.asarray(xs_e[-1])
+            drift = float(np.max(np.abs(end - prev_end))
+                          ) / max(w - w_prev, 1)
+            prev_end, w_prev = end, w
     else:
         key = ("tran_pit", W, n_exec, max_iters, coarsen, coarse_min)
         if key not in cc.cache:
