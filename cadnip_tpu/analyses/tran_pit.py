@@ -630,13 +630,27 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         params = cc.params0()
     params = ensure_setup(cc, params, dyn_op)
 
+    big = any(g.model.va_setup is not None for g in cc.groups)
     op_conv = True
     if x0 is None:
         if uic:
             x0 = jnp.zeros(cc.n, DTYPE)
         else:
-            op = dc(cc, params, mode=MODE_TRANOP, time=t0f)
-            x0 = op.x
+            if big and jax.default_backend() != "cpu":
+                # hybrid flow for PSP/BSIM-class circuits: the DC
+                # homotopy jit takes minutes on XLA:CPU (with the
+                # fusion pass disabled, see CompiledCircuit.jit) but
+                # does not come back from the remote TPU compile
+                # helper at all (>35 min, then errors). Solve the op
+                # on the host CPU backend; the windows run on TPU.
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    op = dc(cc, jax.device_put(params, cpu),
+                            mode=MODE_TRANOP, time=t0f)
+                x0 = jnp.asarray(np.asarray(op.x), DTYPE)
+            else:
+                op = dc(cc, params, mode=MODE_TRANOP, time=t0f)
+                x0 = op.x
             op_conv = bool(np.asarray(op.converged))
     x0 = jnp.asarray(x0, DTYPE)
     if ic:
@@ -644,10 +658,7 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             x0 = x0.at[cc.index_of(str(node))].set(float(v))
 
     rhs = make_rhs_assembler(cc)
-    f0, q0 = rhs(pad_state(x0), params, dyn_op)
-    qd0 = -f0
     assemble = make_assembler(cc)
-    lim0 = assemble.init_lim(pad_state(x0))
 
     # bound the ladder's coarsest step by the fastest source feature:
     # smearing a clock edge seeds bistable circuits in the wrong basin
@@ -657,7 +668,6 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     else:
         coarse_min = 32
     dyn0 = spec.dyn(mode=MODE_TRAN, time=t0f)
-    carry = (x0, q0, qd0, lim0)
     xs_parts, nn, all_done = [], 0, True
 
     def _dbg(e, its, dones):
@@ -667,18 +677,22 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                   f"dones={np.asarray(dones).astype(int).tolist()}",
                   file=sys.stderr, flush=True)
 
-    def _carry_at(x_cur, t_cur):
+    def _carry_at(x_cur, t_cur, dynb=None):
         """Exact restart state at a solved trajectory point: the DAE is
-        f(x) + dq/dt = 0, so qdot = -f(x) ON the trajectory — the same
-        recipe the t0 initialization uses."""
+        f(x) + dq/dt = 0, so qdot = -f(x) ON the trajectory — also the
+        t0 initialization (jitted: a 28k-op PSP-class eval run eagerly
+        through the axon tunnel costs minutes)."""
         keyr = ("pit_rhs",)
         if keyr not in cc.cache:
             cc.cache[keyr] = cc.jit(lambda x, p, d: (
                 rhs(pad_state(x), p, d),
                 assemble.init_lim(pad_state(x))))
+        dynb = dyn0 if dynb is None else dynb
         (f1, q1), lim1 = cc.cache[keyr](
-            x_cur, params, dyn0._replace(time=t_cur))
+            x_cur, params, dynb._replace(time=t_cur))
         return (x_cur, q1, -f1, lim1)
+
+    carry = _carry_at(x0, t0f, dyn_op)
 
     def _seeded_exec(runp, te, Wb, nsb, Xprev, label):
         """One seeded exec of nsb windows. On failure, salvage the
