@@ -348,12 +348,29 @@ def bench_c6288():
     return wall
 
 
+def bench_ring_subprocess(timeout=2400):
+    """Run bench_ring in a subprocess with a hard timeout: PSP103-class
+    remote-TPU compiles have been observed to never return (the axon
+    helper's known pathology); a stuck compile must not hang the whole
+    bench run. Compiled executables land in the persistent cache, so a
+    prior successful run makes this fast."""
+    import subprocess
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "ring"],
+        timeout=timeout, stdout=subprocess.DEVNULL)
+    if p.returncode != 0:
+        raise RuntimeError(f"ring bench subprocess rc={p.returncode}")
+
+
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if only == "ring":
+        bench_ring()
+        return
     rc_wall = bench_rc()
     if only == "all":
         for name, fn in (("graetz", bench_graetz), ("mul", bench_mul),
-                         ("ring", bench_ring),
+                         ("ring", bench_ring_subprocess),
                          ("dff", bench_dff),
                          ("dff_sweep", bench_dff_sweep),
                          ("dff_sweep4096",

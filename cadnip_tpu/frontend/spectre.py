@@ -27,7 +27,7 @@ _SPECTRE_MAG = {"T": 1e12, "G": 1e9, "M": 1e6, "K": 1e3, "k": 1e3,
 
 _NUM_RE = re.compile(
     r"^([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)([TGMKkmunpfa%]?)"
-    r"(?:_[A-Za-z]+)?$")   # optional unit tag: 1.8_V, 10k_Ohm
+    r"(?:_?[A-Za-z]*)?$")   # optional unit tag: 1.8_V, 10k_Ohm, 60ps, 30ns
 
 
 def parse_spectre_number(tok: str):
@@ -81,9 +81,60 @@ def looks_like_spectre(text: str) -> bool:
     return bool(re.search(r"^\s*\w+\s*\([^)]*\)\s*\w+", head, re.M))
 
 
-def parse_spectre(text: str) -> Netlist:
-    lines = _logical_lines(text)
-    cards, _ = _parse_block(lines, 0, None)
+_LANG_RE = re.compile(r"^\s*simulator\s+lang\s*=\s*(\w+)", re.I)
+
+
+def initial_lang(text: str) -> str:
+    """Dialect of the text BEFORE the first `simulator lang=` directive
+    (mixed-language decks, reference NyanSpectreNetlistParser
+    `test/examples/mixed_langs.cir`): a leading SPICE element/dot card
+    means the deck starts in SPICE mode."""
+    for raw in text.splitlines():
+        s = re.sub(r"//.*", "", raw).strip()
+        if not s or s.startswith("*"):
+            continue
+        if _LANG_RE.match(s):
+            return "spectre"
+        if s.startswith("."):
+            return "spice"
+        if re.match(r"^\w+\s*\(", s):
+            return "spectre"
+        w0 = s.split()[0].lower()
+        if w0 in ("simulator", "global", "parameters", "model", "subckt",
+                  "include", "ahdl_include", "save", "ends", "real",
+                  "paramset"):
+            return "spectre"
+        # SPICE element line: letter + digits/name then bare nodes
+        return "spice"
+    return "spectre"
+
+
+def parse_spectre(text: str, start_lang: str | None = None) -> Netlist:
+    """Parse a Spectre (or mixed-language) deck. `simulator lang=spice`
+    switches the line dialect to SPICE until the next `simulator
+    lang=spectre` (reference NyanSpectreNetlistParser mixed mode)."""
+    # split into language segments on `simulator lang=` directives
+    lang = start_lang or initial_lang(text)
+    segs = []           # (lang, first_line_no, [raw lines])
+    cur, start = [], 1
+    for i, raw in enumerate(text.splitlines(), 1):
+        m = _LANG_RE.match(re.sub(r"//.*", "", raw))
+        if m:
+            segs.append((lang, start, cur))
+            lang, cur, start = m.group(1).lower(), [], i + 1
+        else:
+            cur.append(raw)
+    segs.append((lang, start, cur))
+    cards = []
+    for lg, start, ls in segs:
+        if not any(x.strip() for x in ls):
+            continue
+        body = "\n" * (start - 1) + "\n".join(ls)   # preserve line numbers
+        if lg == "spice":
+            from .netlist import parse_netlist
+            cards.extend(parse_netlist(body, title_line=False).cards)
+        else:
+            cards.extend(_parse_block(_logical_lines(body), 0, None)[0])
     return Netlist(title="", cards=cards)
 
 
@@ -163,6 +214,55 @@ def _parse_block(lines, pos, end_name):
                     body_cards.append(c)
             cards.append(SubcktDef("subckt", ln, s, name=name, ports=ports,
                                    params=params, body=body_cards))
+            continue
+        if low in ("ic", "nodeset"):
+            # `ic node=v ...` -> same card shape as SPICE .ic/.nodeset
+            fields = split_fields(s[len(w0):], ln)
+            cards.append(DotCard(low, ln, s,
+                                 kwargs={f[1]: f[2] for f in fields
+                                         if f[0] == "kw"}))
+            pos += 1
+            continue
+        if low == "save":
+            # `save A Y` signal-save directive -> .save card shape
+            cards.append(DotCard("save", ln, s,
+                                 fields=[("word", w) for w in words[1:]]))
+            pos += 1
+            continue
+        # statement-position keywords: `name options|info|alter k=v ...`
+        if len(words) >= 2 and words[1].lower() in ("options", "option"):
+            fields = split_fields(" ".join(words[2:]), ln)
+            cards.append(DotCard("option", ln, s,
+                                 fields=[f for f in fields
+                                         if f[0] != "kw"],
+                                 kwargs={f[1]: f[2] for f in fields
+                                         if f[0] == "kw"}))
+            pos += 1
+            continue
+        if len(words) >= 2 and words[1].lower() == "info":
+            pos += 1          # audit/info statements: no circuit effect
+            continue
+        if len(words) >= 2 and words[1].lower() == "alter":
+            fields = split_fields(" ".join(words[2:]), ln)
+            cards.append(DotCard("spectre_alter", ln, s,
+                                 kwargs={f[1]: f[2] for f in fields
+                                         if f[0] == "kw"}))
+            pos += 1
+            continue
+        if len(words) >= 2 and words[1].lower() == "altergroup":
+            # `name altergroup { include/parameters ... }` — body cards
+            # preserved for introspection (sequential re-elaboration is
+            # not run; reference `src/spectre.jl` altergroup semantics)
+            j = pos + 1
+            inner = []
+            while j < len(lines) and lines[j][1].strip() != "}":
+                inner.append(lines[j])
+                j += 1
+            body_cards, _ = _parse_block(inner, 0, None)
+            cards.append(DotCard("spectre_altergroup", ln, s,
+                                 fields=[("word", w0)],
+                                 kwargs={"body": body_cards}))
+            pos = j + 1
             continue
         # analysis statement: name analysistype p=v ...
         if len(words) >= 2 and words[1].lower() in _ANALYSES:

@@ -126,3 +126,93 @@ r1 in 0 1k
     import numpy as np
     sol = dc(cc)
     assert float(sol["in"]) == pytest.approx(3.141592653589793)
+
+
+# ---- reference parser example corpus (NyanSpectreNetlistParser.jl/
+# test/examples/) — parse-only structural checks + a mixed-language
+# behavior test (reference mixed mode: `simulator lang=` switching).
+
+_EXAMPLES = "/root/reference/NyanSpectreNetlistParser.jl/test/examples"
+
+
+def _example(name):
+    import os
+    path = os.path.join(_EXAMPLES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference example {name} unavailable")
+    return open(path).read()
+
+
+def _kinds(cards):
+    out = {}
+    for c in cards:
+        k = getattr(c, "kind", "?")
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+def test_parse_example_inverter_ring():
+    from cadnip_tpu.frontend.spectre import parse_spectre
+    nl = parse_spectre(_example("inverter_ring.scs"))
+    k = _kinds(nl.cards)
+    assert k["spectre_inst"] == 19          # 16 xinv + aliasGnd + supplies
+    assert k["subckt"] == 1                 # inv
+    assert k["spectre_tran"] == 3           # typ/ss/ff corner trans
+    assert k["spectre_altergroup"] == 2 and k["spectre_alter"] == 2
+    assert k["ic"] == 1 and k["option"] == 1
+    names = [c.name for c in nl.cards if getattr(c, "kind", "") ==
+             "spectre_inst"]
+    assert "xinv17" in names
+    ag = [c for c in nl.cards if c.kind == "spectre_altergroup"][0]
+    body_kinds = _kinds(ag.kwargs["body"])
+    assert body_kinds.get("lib") == 1 and body_kinds.get("param") == 1
+
+
+def test_parse_example_subckt_nested():
+    from cadnip_tpu.frontend.spectre import parse_spectre
+    nl = parse_spectre(_example("subckt_example.scs"))
+    k = _kinds(nl.cards)
+    assert k["subckt"] == 3                 # cell, stage, amplifier
+    sub = {c.name: c for c in nl.cards if getattr(c, "kind", "") ==
+           "subckt"}
+    assert set(sub) == {"cell", "stage", "filter"}
+    assert sub["cell"].ports == ["o", "g1", "g2"]
+    # `ends cell` named terminator parsed; tline instances inside
+    inner = _kinds(sub["cell"].body)
+    assert inner["spectre_inst"] == 8
+
+
+def test_parse_example_inv1x2_units_and_save():
+    from cadnip_tpu.frontend.spectre import parse_spectre
+    nl = parse_spectre(_example("inv1x2.scs"))
+    k = _kinds(nl.cards)
+    assert k["save"] == 1 and k["option"] == 1 and k["include"] == 1
+    v2 = [c for c in nl.cards if getattr(c, "name", "") == "v2"][0]
+    assert v2.kwargs["type"][1] == "pulse"
+    # `60ps` / `30ns` unit-suffixed literals
+    assert parse_spectre_number("60ps") == pytest.approx(60e-12)
+    assert parse_spectre_number("30ns") == pytest.approx(30e-9)
+
+
+def test_mixed_language_deck_solves():
+    """`simulator lang=spice`/`lang=spectre` switching: four parallel 1k
+    resistors (two per dialect) across a 1 V SPICE source."""
+    src = _example("mixed_langs.cir")
+    cc = parse_spice(src)
+    sol = dc(cc)
+    assert float(sol["1"]) == pytest.approx(1.0)
+    # all four resistors landed: total conductance 4 mS -> i(v1) = -4 mA
+    i = float(sol["v1#i"])
+    assert i == pytest.approx(-4e-3, rel=1e-9)
+
+
+def test_spectre_ic_card_applies():
+    from cadnip_tpu.frontend.spectre import parse_spectre
+    nl = parse_spectre("""simulator lang=spectre
+v1 (in 0) vsource type=dc dc=1
+r1 (in out) resistor r=1k
+c1 (out 0) capacitor c=1u
+ic out=0.25
+""")
+    k = _kinds(nl.cards)
+    assert k["ic"] == 1
