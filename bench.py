@@ -91,6 +91,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def golden_rmse(sol, name, node_a, node_b=None, scale=1.0):
+    """Relative RMSE of a PIT waveform against the checked-in f64 CPU
+    golden (tests/goldens/*.npz, the serial adaptive runner's solution)
+    at the golden's save instants."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "goldens", f"{name}.npz")
+    if not os.path.exists(path):
+        return None
+    g = np.load(path)
+    v = np.asarray(sol[node_a])
+    if node_b is not None:
+        v = v - np.asarray(sol[node_b])
+    gv = g[node_a] - (g[node_b] if node_b else 0.0)
+    vi = np.interp(g["ts"], np.asarray(sol.ts), v)
+    return float(np.sqrt(np.mean((vi - gv) ** 2))) / scale
+
+
 def bench_rc():
     import cadnip_tpu as ct
     from cadnip_tpu.analyses.tran_linear import tran_linear
@@ -159,8 +176,10 @@ def bench_graetz():
         times.append(time.perf_counter() - t0)
     wall = float(np.mean(times))
     nn = int(np.asarray(sol.stats.nnewton))
+    rmse = golden_rmse(sol, "graetz", "outp", "outn", scale=20.0)
     log(f"graetz (PIT, MEASURED full 1 s span): {wall:.2f}s, "
-        f"{nn} window-iters, ripple_ok={ok}, all_converged={not fail} "
+        f"{nn} window-iters, ripple_ok={ok}, all_converged={not fail}, "
+        f"golden_rel_rmse={rmse:.2e} "
         f"(VACASK {VACASK_GRAETZ}s, x{VACASK_GRAETZ / wall:.2f}; "
         f"Ngspice 2.21s, Gnucap 15.16s, Xyce 10.60s)")
     return wall
@@ -173,15 +192,18 @@ def bench_mul():
     from cadnip_tpu.analyses.tran_pit import tran_pit
 
     cc = ct.parse_spice(MUL)
+    # max_iters=96: the window spanning the charge pump's startup
+    # switching needs >64 finest-level iterations (measured); unused
+    # budget is skipped fori trips, ~free
+    kw = dict(window=8192, windows_per_exec=8, max_iters=96)
     t0 = time.perf_counter()
-    sol = tran_pit(cc, (0, 5e-3), 1e-8, window=8192, windows_per_exec=8)
+    sol = tran_pit(cc, (0, 5e-3), 1e-8, **kw)
     np.asarray(sol.xs[-1])
     log(f"mul warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        sol = tran_pit(cc, (0, 5e-3), 1e-8, window=8192,
-                       windows_per_exec=8)
+        sol = tran_pit(cc, (0, 5e-3), 1e-8, **kw)
         sol.xs.block_until_ready()
         times.append(time.perf_counter() - t0)
     wall = float(np.mean(times))
@@ -189,9 +211,11 @@ def bench_mul():
     v20 = float(np.asarray(sol["20"])[-1])
     ok = v20 > 40.0           # multiplier has pumped well past a stage
     fail = bool(np.asarray(sol.stats.fail))
+    rmse = golden_rmse(sol, "mul", "20", scale=50.0)
     log(f"mul (PIT, MEASURED full 5 ms span): {wall:.2f}s, "
         f"{nn} window-iters, v(20)={v20:.1f}V (pumped_ok={ok}), "
-        f"all_converged={not fail} (VACASK {VACASK_MUL}s, "
+        f"all_converged={not fail}, golden_rel_rmse={rmse:.2e} "
+        f"(VACASK {VACASK_MUL}s, "
         f"x{VACASK_MUL / wall:.2f}; Ngspice 1.16s)")
     return wall
 

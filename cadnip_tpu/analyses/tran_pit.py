@@ -460,6 +460,14 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 Xn = jnp.where(finite, Xn, X)
                 ok_dx = (jnp.abs(dx) <= reltol * jnp.maximum(
                     jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) & finite
+                # accept-on-own-dx: when EVERY point's step this
+                # iteration already passes the dx test (the classic
+                # SPICE two-iterate criterion; frozen points have dx=0),
+                # the window is converged NOW — waiting for the carried
+                # ok_dx to be observed next trip costs one full
+                # eval+solve+scan per window (~25% of a seeded run
+                # whose windows converge in 2-3 iterations)
+                conv = conv | jnp.all(ok_dx)
                 return (Xn, limn, ok_dx, it + 1, conv)
 
             init = (X0, lim_init, jnp.zeros((Wl, n), bool),
