@@ -280,7 +280,8 @@ def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
 
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     max_iters: int = 40, coarsen: int = 8,
-                    coarse_min: int = 32, seeded: bool = False):
+                    coarse_min: int = 32, seeded: bool = False,
+                    rescue: bool = False):
     """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
     (xs [n_win*W, n], its [n_win], done [n_win], carry) where carry =
     (x, Q, qdot, lim) at the last point — the host chains executions of
@@ -305,6 +306,21 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     assemble = make_assembler(cc)
     n = cc.n
     grids = level_grids(W, coarsen, coarse_min)
+    # Big-VA (PSP/BSIM class, va_setup hoisted) circuits compile through
+    # the axon remote helper, which has been observed to OOM/SIGKILL on
+    # large HLO graphs. `big` switches the runner to a SLIM-GRAPH mode:
+    # F/Q ride the Newton-loop carry and the per-window post-loop
+    # assemble is dropped, so each compiled newton_level holds exactly
+    # ONE instance of the (~28k-op) device-evaluation graph. The price:
+    # accept-on-own-dx must be disabled (the carried F/Q must be
+    # evaluated AT the accepted X, which only the carried-okp acceptance
+    # guarantees — its dx is zero), costing one observe-only iteration
+    # per window.
+    big = any(g.model.va_setup is not None for g in cc.groups)
+    # rescue's BE/trap selection needs the post-loop assemble at the
+    # SELECTED X, which slim-graph mode drops — host gates rescue off
+    # for big circuits (they use the osc-mode discard-halve retry).
+    assert not (rescue and big), "rescue runner unsupported in big mode"
     # Lane-major (W-last) linear algebra keeps every elimination and
     # scan op elementwise over the 1024-wide window axis in TPU lanes;
     # the batch-major vmapped path pays [n, n] relayouts + MXU padding
@@ -371,7 +387,10 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 return (~done) & (it < miters)
 
             def body(c):
-                X, lim, ok_dx_prev, it, done = c
+                if big:
+                    X, lim, ok_dx_prev, _Fc, _Qc, it, done = c
+                else:
+                    X, lim, ok_dx_prev, it, done = c
                 F, Q, G, C, limn = vassemble(pad_state(X), lim,
                                              params, dynv)
                 if be:
@@ -466,12 +485,22 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # the window is converged NOW — waiting for the carried
                 # ok_dx to be observed next trip costs one full
                 # eval+solve+scan per window (~25% of a seeded run
-                # whose windows converge in 2-3 iterations)
+                # whose windows converge in 2-3 iterations). Disabled in
+                # `big` slim-graph mode: the carried F/Q must be the
+                # values AT the accepted X.
+                if big:
+                    return (Xn, limn, ok_dx, F, Q, it + 1, conv)
                 conv = conv | jnp.all(ok_dx)
                 return (Xn, limn, ok_dx, it + 1, conv)
 
-            init = (X0, lim_init, jnp.zeros((Wl, n), bool),
-                    jnp.int32(0), jnp.asarray(False))
+            if big:
+                init = (X0, lim_init, jnp.zeros((Wl, n), bool),
+                        jnp.zeros((Wl, n), DTYPE),
+                        jnp.zeros((Wl, n), DTYPE),
+                        jnp.int32(0), jnp.asarray(False))
+            else:
+                init = (X0, lim_init, jnp.zeros((Wl, n), bool),
+                        jnp.int32(0), jnp.asarray(False))
             if _loop == "fori":
                 # fixed-trip loop with a scalar-predicate cond skip:
                 # converged windows fall through the remaining trips on
@@ -479,12 +508,14 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # while_loop pays ~25 ms per trip on the axon backend
                 def fbody(i, c):
                     return jax.lax.cond(cond(c), body, lambda c_: c_, c)
-                X, lim, _, it, done = jax.lax.fori_loop(
-                    0, miters, fbody, init)
+                out = jax.lax.fori_loop(0, miters, fbody, init)
             else:
-                X, lim, _, it, done = jax.lax.while_loop(
-                    cond, body, init)
-            return X, lim, it, done
+                out = jax.lax.while_loop(cond, body, init)
+            if big:
+                X, lim, _, Fl, Ql, it, done = out
+                return X, lim, it, done, Fl, Ql
+            X, lim, _, it, done = out
+            return X, lim, it, done, None, None
 
         def win_body_seeded(carry, tw):
             # `poisoned`: a diverged window's carry/seed is garbage, so
@@ -496,12 +527,15 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
 
             def do(c):
                 x_l, Q_l, qd_l, lim_l, Xp, _ = c
-                X, lim, it, done = newton_level(
+                X, lim, it, done, Fl, Ql = newton_level(
                     tw, 2.0 / dt, W, Xp, Q_l, qd_l, False,
                     max(max_iters, 64), max_dv)
-                dynv = dyn0._replace(time=tw)
-                F, Q, _, _, _ = vassemble(pad_state(X), lim, params,
-                                          dynv)
+                if big:
+                    F, Q = Fl, Ql
+                else:
+                    dynv = dyn0._replace(time=tw)
+                    F, Q, _, _, _ = vassemble(pad_state(X), lim, params,
+                                              dynv)
                 return ((X[-1], Q[-1], -F[-1], lim[-1], X, ~done),
                         (X, it[None], done))
 
@@ -525,10 +559,28 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
             # reusing the identical window-Newton machinery. The
             # coarsest level still uses the constant seed.
             its_levels = []
+            # level schedule (Wl, be). rescue=True inserts a SAME-GRID
+            # backward-Euler level before the final trapezoidal level:
+            # window Newton on the trap recursion has TWO basins at a
+            # hard switching onset (the quadratic per-step map), and a
+            # ladder seed interpolated from a coarse grid can land in
+            # the wrong one — measured on the `mul` charge pump startup,
+            # where the fine trap level burns its whole 96-iteration
+            # budget ([13, 29, 96]) while BE (L-stable, contraction-
+            # dominated recursion) converges. The BE solution then seeds
+            # trap within O(dt*LTE) of its root; if trap STILL fails the
+            # window accepts the converged BE solution (one window of
+            # O(dt) local error beats a poisoned carry corrupting the
+            # rest of the run).
+            levels = [(Wl, li < len(grids) - 1)
+                      for li, Wl in enumerate(grids)]
+            if rescue:
+                levels.insert(len(levels) - 1, (W, True))
             X = None
-            for li, Wl in enumerate(grids):
+            X_be = lim_be = done_be = None
+            prev_Wl = None
+            for li, (Wl, be) in enumerate(levels):
                 s = W // Wl
-                be = li < len(grids) - 1     # coarse levels seed via BE
                 # iteration budget: generous everywhere. Refinement
                 # levels converge in 3-4 iterations on smooth windows,
                 # but the window holding a switching onset can need ~60
@@ -541,8 +593,10 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 c0_l = (1.0 if be else 2.0) / (dt * s)
                 if X is None:
                     X0 = jnp.broadcast_to(x_last, (Wl, n))
+                elif Wl == prev_Wl:
+                    X0 = X                   # same grid: direct re-seed
                 else:
-                    r = Wl // grids[li - 1]
+                    r = Wl // prev_Wl
                     prev = jnp.concatenate([x_last[None], X[:-1]], 0)
                     frac = ((jnp.arange(Wl, dtype=DTYPE) % r) + 1.0) / r
                     base = jnp.repeat(prev, r, axis=0)
@@ -551,19 +605,33 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # seed levels: relax the global voltage-step clamp (the
                 # 5 V/iter damp costs ~8 iterations traversing a 40 V
                 # swing from the constant seed; pnjlim still guards the
-                # junctions) — the finest level keeps the spec clamp
-                mdv = max_dv if li == len(grids) - 1 else 8.0 * max_dv
-                X, lim, it, done = newton_level(tw_l, c0_l, Wl, X0,
-                                                Q_last, qd_last, be,
-                                                miters, mdv)
+                # junctions) — the full-grid levels keep the spec clamp
+                mdv = max_dv if Wl == W else 8.0 * max_dv
+                X, lim, it, done, Fl, Ql = newton_level(tw_l, c0_l, Wl,
+                                                        X0, Q_last,
+                                                        qd_last, be,
+                                                        miters, mdv)
                 its_levels.append(it)
+                if rescue and be and Wl == W:
+                    X_be, lim_be, done_be = X, lim, done
+                prev_Wl = Wl
+            if rescue:
+                use_be = done_be & ~done
+                X = jnp.where(use_be, X_be, X)
+                lim = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(use_be, a, b), lim_be, lim)
+                done = done | done_be
             # carry-out quantities at the window's converged endpoint —
             # one post-loop assemble so qd/Q come from the same limited
             # residual path the in-loop Newton used (the raw rhs differs
             # by ~J*tol near diode switching, enough to poison the next
-            # window's carry-in row R_1)
-            dynv = dyn0._replace(time=tw)
-            F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
+            # window's carry-in row R_1). In `big` slim-graph mode the
+            # loop carried those values out instead.
+            if big:
+                F, Q = Fl, Ql
+            else:
+                dynv = dyn0._replace(time=tw)
+                F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
             carry = (X[-1], Q[-1], -F[-1], lim[-1])
             return carry, (X, jnp.stack(its_levels), done)
 
@@ -726,6 +794,61 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             Xprev = xs_np[-Wb:]
         return False, k, Xprev
 
+    def _tail_rows(Wn):
+        """Last Wn solved rows, gathered across as many xs_parts as
+        needed (halving salvage appends SHORT parts — a fixed part
+        count can undershoot Wn)."""
+        out, got = [], 0
+        for p in reversed(xs_parts):
+            a = np.asarray(p)
+            out.append(a)
+            got += a.shape[0]
+            if got >= Wn:
+                break
+        acc = np.concatenate(list(reversed(out)), 0)
+        return jnp.asarray(acc[-Wn:], DTYPE)
+
+    def _get_ladder1(Wx, resc=False):
+        keyx = (("tran_pit_rescue" if resc else "tran_pit"),
+                Wx, 1, max_iters, coarsen, coarse_min)
+        if keyx not in cc.cache:
+            cc.cache[keyx] = cc.jit(make_pit_runner(
+                cc, Wx, 1, max_iters, coarsen, coarse_min, rescue=resc))
+        return cc.cache[keyx]
+
+    def _solve_steps_robust(o, Wx, resc=False):
+        """Solve steps [o, o+Wx) as ONE ladder window, never accepting a
+        diverged carry (the run would 'converge' on a garbage
+        trajectory — measured on `mul`, v(20) 1365 V vs the 138.9 V
+        golden). Escalation on failure: (1) the RESCUE ladder — a
+        same-grid BE level before the fine trap level, accepting the BE
+        solution when trap window Newton is stuck in the wrong basin of
+        the trap recursion at a switching onset; (2) halving, which
+        shrinks the Newton coupling span (floor 64 steps). Callers that
+        already watched the plain ladder fail pass resc=True to skip
+        straight to the rescue runner. Appends converged parts,
+        advances the carry; returns False only if a floor-size rescue
+        window still fails (accepted then, flagged via all_done)."""
+        nonlocal carry, nn
+        runx = _get_ladder1(Wx, resc) if not big else _get_ladder1(Wx)
+        te = t0f + o * dt
+        xs_e, its, dones, carry2 = runx(
+            *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
+            params, dyn0)
+        nn += int(np.asarray(jnp.sum(its)))
+        ok = bool(np.asarray(jnp.all(dones)))
+        _dbg(f"r@{o}+{Wx}{'R' if resc else ''}", its, dones)
+        if ok or (Wx <= 64 and (resc or big)):
+            carry = carry2
+            xs_parts.append(xs_e)
+            return ok
+        if not resc and not big:
+            return _solve_steps_robust(o, Wx, True)
+        h = Wx // 2
+        okl = _solve_steps_robust(o, h, resc)
+        okr = _solve_steps_robust(o + h, Wx - h, resc)
+        return okl and okr
+
     if osc and not use_seeded and n_steps >= 2 * osc_window:
         # ---- autonomous-oscillator mode (the VACASK `ring` shape).
         # Window Newton diverges on an oscillator at long spans: the
@@ -741,11 +864,17 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         done_pts = 0
         P = None
 
+        # phase-A budget: the PSP103 ring's first constant-seed window
+        # needs 48 iterations on CPU f64; the TPU backend's emulated-f64
+        # noise pushes the same window past 64 — budget 96 (unused trips
+        # are cheap cond-skips)
+        mi_osc = max(max_iters, 96)
+
         def _get_ladder(Wx):
-            keyx = ("tran_pit", Wx, 1, max_iters, coarsen, coarse_min)
+            keyx = ("tran_pit", Wx, 1, mi_osc, coarsen, coarse_min)
             if keyx not in cc.cache:
                 cc.cache[keyx] = cc.jit(make_pit_runner(
-                    cc, Wx, 1, max_iters, coarsen, coarse_min))
+                    cc, Wx, 1, mi_osc, coarsen, coarse_min))
             return cc.cache[keyx]
 
         def _ladder_window():
@@ -779,7 +908,13 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 break
             P = None
         if P is not None:
-            pstep_f = P / dt
+            # quantize the measured period to 1/4 step so the seeded
+            # window length Wb is stable across runs/processes (every
+            # distinct Wb is a fresh ~20-minute remote compile for
+            # PSP-class circuits; the persistent XLA cache only helps
+            # when the shape recurs). Max phase slip from quantization:
+            # m * 0.125 steps per window — a few % of a period.
+            pstep_f = round(P / dt * 4.0) / 4.0
             m = max(1, int(round(W / pstep_f)))
             Wb = int(round(m * pstep_f))
             rem = n_steps - done_pts
@@ -820,21 +955,11 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         # A failed seeded exec salvages its converged window prefix and
         # the failure drift level becomes the gate; seeding is retried
         # once the drift falls to a quarter of it.
-        key0 = ("tran_pit", W, 1, max_iters, coarsen, coarse_min)
-        if key0 not in cc.cache:
-            cc.cache[key0] = cc.jit(make_pit_runner(
-                cc, W, 1, max_iters, coarsen, coarse_min))
-        xs_e, its, dones, carry = cc.cache[key0](
-            *carry, jnp.asarray(t0f, DTYPE), jnp.asarray(dt, DTYPE),
-            params, dyn0)
-        xs_parts.append(xs_e)
-        nn += int(np.asarray(jnp.sum(its)))
-        all_done = bool(np.asarray(jnp.all(dones)))
-        _dbg("w0", its, dones)
-        Xprev = xs_e
+        all_done = _solve_steps_robust(0, W)
+        Xprev = _tail_rows(W)
         ns = min(n_exec, n_win - 1)
         prev_end, w_prev = np.asarray(x0), 0
-        end = np.asarray(xs_e[-1])
+        end = np.asarray(Xprev[-1])
         drift = float(np.max(np.abs(end - prev_end)))
         prev_end, w_prev = end, 1
         fail_drift = np.inf
@@ -871,16 +996,31 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                     cc.cache[keyl] = cc.jit(make_pit_runner(
                         cc, W, ns, max_iters, coarsen, coarse_min))
                 runl = cc.cache[keyl]
-            xs_e, its, dones, carry = runl(
+            xs_e, its, dones, carry_l = runl(
                 *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
                 params, dyn0)
-            xs_parts.append(xs_e)
             nn += int(np.asarray(jnp.sum(its)))
-            all_done = all_done and bool(np.asarray(jnp.all(dones)))
             _dbg(f"l@{w}", its, dones)
-            Xprev = xs_e[-W:]
-            w += ns
-            end = np.asarray(xs_e[-1])
+            d = np.asarray(dones).ravel()
+            if d.all():
+                carry = carry_l
+                xs_parts.append(xs_e)
+                Xprev = xs_e[-W:]
+                w += ns
+            else:
+                # salvage the converged prefix, re-solve the hard window
+                # by halving (a poisoned carry must never be accepted —
+                # the run would "converge" on a garbage trajectory)
+                k = int(np.argmin(d))
+                if k > 0:
+                    xs_np = xs_e[: k * W]
+                    xs_parts.append(xs_np)
+                    carry = _carry_at(xs_np[-1], te + k * W * dt)
+                all_done = _solve_steps_robust((w + k) * W, W,
+                                               True) and all_done
+                w += k + 1
+                Xprev = _tail_rows(W)
+            end = np.asarray(Xprev[-1])
             drift = float(np.max(np.abs(end - prev_end))
                           ) / max(w - w_prev, 1)
             prev_end, w_prev = end, w
@@ -891,15 +1031,30 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                                   coarse_min)
             cc.cache[key] = cc.jit(run)
         run = cc.cache[key]
-        for e in range((n_win + n_exec - 1) // n_exec):
-            te = t0f + e * n_exec * W * dt
-            xs_e, its, dones, carry = run(*carry, jnp.asarray(te, DTYPE),
-                                          jnp.asarray(dt, DTYPE), params,
-                                          dyn0)
-            xs_parts.append(xs_e)
+        done_w = 0
+        while done_w < n_win:
+            te = t0f + done_w * W * dt
+            xs_e, its, dones, carry_l = run(
+                *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
+                params, dyn0)
             nn += int(np.asarray(jnp.sum(its)))
-            all_done = all_done and bool(np.asarray(jnp.all(dones)))
-            _dbg(e, its, dones)
+            _dbg(done_w, its, dones)
+            d = np.asarray(dones).ravel()
+            if d.all():
+                carry = carry_l
+                xs_parts.append(xs_e)
+                done_w += n_exec
+            else:
+                # salvage converged prefix; halving re-solve of the
+                # hard window (never accept a poisoned carry)
+                k = int(np.argmin(d))
+                if k > 0:
+                    xs_np = xs_e[: k * W]
+                    xs_parts.append(xs_np)
+                    carry = _carry_at(xs_np[-1], te + k * W * dt)
+                all_done = _solve_steps_robust((done_w + k) * W, W,
+                                               True) and all_done
+                done_w += k + 1
     xs = jnp.concatenate([x0[None, :]] + xs_parts, 0)[:n_steps + 1]
     ts = t0f + dt * np.arange(n_steps + 1)
     stats = TranStats(naccept=jnp.int32(n_steps), nreject=jnp.int32(0),

@@ -13,6 +13,7 @@ a sparse backend needs (`src/mna/precompile.jl:253`), so sparse plugs in here.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -135,6 +136,40 @@ def _group_eval_sites(model, u, w_prev, p, dyn):
     return f + df, q + dq, J, C, w_new
 
 
+_FD_JAC = os.environ.get("CADNIP_FD_JAC", "1") != "0"
+_FD_H = 1e-4
+
+
+def _group_eval_fd(model, u, p, dyn):
+    """Batched central-difference local Jacobian for ONE instance of a
+    BIG VA model (PSP/BSIM class, `va_setup` hoisted).
+
+    Why not `jax.linearize` here: the jvp graph of a ~28k-op compiled
+    PSP103 residual roughly triples the HLO op count, which (a) is the
+    graph the axon remote-TPU compile helper fails to return on, and
+    (b) is where the backend's fusion-reordering NaN pathology lives
+    (see va/codegen.py CADNIP_VA_BARRIER note). Central differences keep
+    the compiled graph at ONE batched primal evaluation — the 2*n_local
+    perturbed points ride the batch dimension, so runtime cost matches
+    the tangent passes they replace.
+
+    Accuracy: h = 1e-4*(1+|u|) central => truncation ~(h/nVt)^2/6 ~ 3e-6
+    relative on junction exponentials; on the TPU backend's emulated f64
+    (transcendentals at f32 accuracy, ~5e-8 relative noise) the noise
+    term is ~6e-6 relative. Newton convergence tests (dx/residual) are
+    unaffected — the solution converges on the exact residual."""
+    nl = u.shape[0]
+    f0, q0 = model.residual(u, p, dyn)
+    h = _FD_H * (1.0 + jnp.abs(u))
+    E = jnp.eye(nl, dtype=u.dtype) * h[None, :]
+    U = jnp.concatenate([u[None, :] + E, u[None, :] - E], 0)
+    fs, qs = jax.vmap(lambda uu: model.residual(uu, p, dyn))(U)
+    inv2h = 1.0 / (2.0 * h)
+    J = (fs[:nl] - fs[nl:]).T * inv2h[None, :]
+    C = (qs[:nl] - qs[nl:]).T * inv2h[None, :]
+    return f0, q0, J, C, u
+
+
 def _group_eval(model, u, u_lim_prev, p, dyn):
     """Residual, charge, and their local Jacobians for ONE instance, with
     limiting applied and the companion anchored at the limited point.
@@ -147,6 +182,8 @@ def _group_eval(model, u, u_lim_prev, p, dyn):
     """
     if model.residual_lim is not None:
         return _group_eval_sites(model, u, u_lim_prev, p, dyn)
+    if model.va_setup is not None and _FD_JAC:
+        return _group_eval_fd(model, u, p, dyn)
     u_eval = (model.limit(u, u_lim_prev, p, dyn)
               if model.limit is not None else u)
 
