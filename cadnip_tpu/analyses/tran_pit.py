@@ -531,12 +531,15 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     tw, 2.0 / dt, W, Xp, Q_l, qd_l, False,
                     max(max_iters, 64), max_dv)
                 if big:
-                    F, Q = Fl, Ql
+                    F1, Q1 = Fl[-1], Ql[-1]
                 else:
-                    dynv = dyn0._replace(time=tw)
-                    F, Q, _, _, _ = vassemble(pad_state(X), lim, params,
-                                              dynv)
-                return ((X[-1], Q[-1], -F[-1], lim[-1], X, ~done),
+                    # carry needs F/Q at the LAST point only — a single-
+                    # point assemble (row W-1 of the limited path), not a
+                    # full-window eval
+                    F1, Q1, _, _, _ = assemble(
+                        pad_state(X[-1]), lim[-1], params,
+                        dyn0._replace(time=tw[-1]))
+                return ((X[-1], Q1, -F1, lim[-1], X, ~done),
                         (X, it[None], done))
 
             def skip(c):
@@ -622,17 +625,19 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     lambda a, b: jnp.where(use_be, a, b), lim_be, lim)
                 done = done | done_be
             # carry-out quantities at the window's converged endpoint —
-            # one post-loop assemble so qd/Q come from the same limited
-            # residual path the in-loop Newton used (the raw rhs differs
-            # by ~J*tol near diode switching, enough to poison the next
-            # window's carry-in row R_1). In `big` slim-graph mode the
-            # loop carried those values out instead.
+            # a single-point post-loop assemble so qd/Q come from the
+            # same limited residual path the in-loop Newton used (the
+            # raw rhs differs by ~J*tol near diode switching, enough to
+            # poison the next window's carry-in row R_1). Only the LAST
+            # point matters, so this is row W-1, not a full-window eval.
+            # In `big` slim-graph mode the loop carried those values out.
             if big:
-                F, Q = Fl, Ql
+                F1, Q1 = Fl[-1], Ql[-1]
             else:
-                dynv = dyn0._replace(time=tw)
-                F, Q, _, _, _ = vassemble(pad_state(X), lim, params, dynv)
-            carry = (X[-1], Q[-1], -F[-1], lim[-1])
+                F1, Q1, _, _, _ = assemble(
+                    pad_state(X[-1]), lim[-1], params,
+                    dyn0._replace(time=tw[-1]))
+            carry = (X[-1], Q1, -F1, lim[-1])
             return carry, (X, jnp.stack(its_levels), done)
 
         times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
