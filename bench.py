@@ -160,7 +160,7 @@ def bench_graetz():
 
     cc = ct.parse_spice(GRAETZ)
     t0 = time.perf_counter()
-    sol = tran_pit(cc, (0, 1.0), 1e-6, window=8192, windows_per_exec=8)
+    sol = tran_pit(cc, (0, 1.0), 1e-6, window=8192, windows_per_exec=16)
     np.asarray(sol.xs[-1])
     log(f"graetz warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
     v = np.asarray(sol.v("outp", "outn"))
@@ -171,7 +171,7 @@ def bench_graetz():
     for _ in range(2):
         t0 = time.perf_counter()
         sol = tran_pit(cc, (0, 1.0), 1e-6, window=8192,
-                       windows_per_exec=8)
+                       windows_per_exec=16)
         sol.xs.block_until_ready()
         times.append(time.perf_counter() - t0)
     wall = float(np.mean(times))
@@ -192,10 +192,16 @@ def bench_mul():
     from cadnip_tpu.analyses.tran_pit import tran_pit
 
     cc = ct.parse_spice(MUL)
-    # max_iters=96: the window spanning the charge pump's startup
-    # switching needs >64 finest-level iterations (measured); unused
-    # budget is skipped fori trips, ~free
-    kw = dict(window=8192, windows_per_exec=8, max_iters=96)
+    # window=1000 = ONE source period (10 us at 100 kHz, dt=10 ns):
+    # at 8 periods/window the charge pump's per-window envelope drift
+    # is outside the seeded-Newton basin (the drift gate pushed every
+    # window through the ladder, where the finest trap level then
+    # systematically lost the basin race and fell back to BE rescue —
+    # measured [~14, ~20, 96]-iteration window after window). At one
+    # period the drift is 8x smaller and EVERY window converges seeded:
+    # 91->7 iters over the startup decade, 2-3 steady (measured).
+    # max_iters=96 sizes the big-budget variant for the startup windows.
+    kw = dict(window=1000, windows_per_exec=16, max_iters=96)
     t0 = time.perf_counter()
     sol = tran_pit(cc, (0, 5e-3), 1e-8, **kw)
     np.asarray(sol.xs[-1])

@@ -281,7 +281,7 @@ def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     max_iters: int = 40, coarsen: int = 8,
                     coarse_min: int = 32, seeded: bool = False,
-                    rescue: bool = False):
+                    rescue: bool = False, budget: int | None = None):
     """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
     (xs [n_win*W, n], its [n_win], done [n_win], carry) where carry =
     (x, Q, qdot, lim) at the last point — the host chains executions of
@@ -302,7 +302,17 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     ladder runner when it is large. The caller solves the first window
     with the ladder runner to produce the initial Xprev. AUTONOMOUS
     oscillators reuse the same runner with a MEASURED period (see
-    `tran_pit(osc=True)`)."""
+    `tran_pit(osc=True)`).
+
+    budget overrides the per-window fori trip count for SEEDED runners.
+    Steady-state seeded windows converge in 1-3 iterations, but every
+    window pays the FULL fori budget in trips (skipped trips are
+    cond-identity carries, not free: measured on graetz, ~95% of all
+    trips were skips under the 64 budget). The host dispatches a
+    small-budget variant once windows run calm and falls back to the
+    big-budget variant when a window exhausts the small budget — a
+    budget failure is NOT a seeding-basin failure, so it must not
+    trip the drift gate."""
     assemble = make_assembler(cc)
     n = cc.n
     grids = level_grids(W, coarsen, coarse_min)
@@ -529,7 +539,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 x_l, Q_l, qd_l, lim_l, Xp, _ = c
                 X, lim, it, done, Fl, Ql = newton_level(
                     tw, 2.0 / dt, W, Xp, Q_l, qd_l, False,
-                    max(max_iters, 64), max_dv)
+                    budget or max(max_iters, 64), max_dv)
                 if big:
                     F1, Q1 = Fl[-1], Ql[-1]
                 else:
@@ -779,7 +789,8 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         """One seeded exec of nsb windows. On failure, salvage the
         converged window PREFIX (the poisoned-carry short-circuit makes
         post-failure windows cheap skips) and restart the carry at the
-        prefix end. Returns (all_ok, n_windows_accepted, Xprev')."""
+        prefix end. Returns (all_ok, n_windows_accepted, Xprev',
+        max_window_iters) — the max drives the small/big budget policy."""
         nonlocal carry, nn
         xs_e, its, dones, carry6 = runp(
             *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
@@ -787,17 +798,18 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         nn += int(np.asarray(jnp.sum(its)))
         _dbg(label, its, dones)
         d = np.asarray(dones).ravel()
+        mx = int(np.asarray(its).max())
         if d.all():
             carry = carry6[:4]
             xs_parts.append(xs_e)
-            return True, nsb, carry6[4]
+            return True, nsb, carry6[4], mx
         k = int(np.argmin(d))          # first failed window
         if k > 0:
             xs_np = xs_e[: k * Wb]
             xs_parts.append(xs_np)
             carry = _carry_at(xs_np[-1], te + k * Wb * dt)
             Xprev = xs_np[-Wb:]
-        return False, k, Xprev
+        return False, k, Xprev, mx
 
     def _tail_rows(Wn):
         """Last Wn solved rows, gathered across as many xs_parts as
@@ -937,8 +949,8 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 runp = cc.cache[keyp]
                 for e in range((n_winB + nsB - 1) // nsB):
                     te = t0f + done_pts * dt
-                    ok, k, Xprev = _seeded_exec(runp, te, Wb, nsB,
-                                                Xprev, f"oscB{e}")
+                    ok, k, Xprev, _mx = _seeded_exec(runp, te, Wb, nsB,
+                                                     Xprev, f"oscB{e}")
                     # each good exec appends nsB full windows (the last
                     # may overshoot tstop; truncated below); on failure
                     # the salvaged prefix counts and the trailing
@@ -968,19 +980,31 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         drift = float(np.max(np.abs(end - prev_end)))
         prev_end, w_prev = end, 1
         fail_drift = np.inf
-        runp = runl = None
+        # Two seeded budget tiers. Steady windows converge in 1-3
+        # iterations but pay the full fori budget in trips; once an
+        # exec runs calm the host switches to the small-budget variant
+        # (measured: skipped trips were ~95% of graetz's PIT wall
+        # clock). A small-budget exhaustion is a BUDGET failure: retry
+        # the window with the big budget, do NOT trip the drift gate.
+        big_budget = max(max_iters, 64)
+        small_budget = 8
+        use_small = False
+
+        def _runp(b):
+            keyp = ("tran_pit_seeded", W, ns, max_iters, b)
+            if keyp not in cc.cache:
+                cc.cache[keyp] = cc.jit(make_pit_runner(
+                    cc, W, ns, max_iters, seeded=True, budget=b))
+            return cc.cache[keyp]
+
+        runl = None
         w = 1
         while w < n_win:
             te = t0f + w * W * dt
             if drift < fail_drift / 4:
-                if runp is None:
-                    keyp = ("tran_pit_seeded", W, ns, max_iters)
-                    if keyp not in cc.cache:
-                        cc.cache[keyp] = cc.jit(make_pit_runner(
-                            cc, W, ns, max_iters, seeded=True))
-                    runp = cc.cache[keyp]
-                ok, k, Xprev = _seeded_exec(runp, te, W, ns, Xprev,
-                                            f"s@{w}")
+                bud = small_budget if use_small else big_budget
+                ok, k, Xprev, mx = _seeded_exec(_runp(bud), te, W, ns,
+                                                Xprev, f"s@{w}")
                 w += k if not ok else ns
                 if ok or k > 0:
                     end = np.asarray(Xprev[-1])
@@ -988,6 +1012,10 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                                   ) / max(w - w_prev, 1)
                     prev_end, w_prev = end, w
                 if ok:
+                    use_small = mx <= small_budget - 2
+                    continue
+                if bud == small_budget:
+                    use_small = False    # budget failure: retry big
                     continue
                 fail_drift = min(fail_drift, max(drift, 1e-12))
                 if w >= n_win:
