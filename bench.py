@@ -378,7 +378,7 @@ def bench_c6288():
     return wall
 
 
-def bench_ring_subprocess(timeout=2400):
+def bench_ring_subprocess(timeout=900):
     """Run bench_ring in a subprocess with a hard timeout: PSP103-class
     remote-TPU compiles have been observed to never return (the axon
     helper's known pathology); a stuck compile must not hang the whole
@@ -399,13 +399,17 @@ def main():
         return
     rc_wall = bench_rc()
     if only == "all":
+        # ring runs LAST: its PSP103-class remote-TPU compiles can eat
+        # the whole subprocess timeout without producing a result (the
+        # axon helper's known pathology) — it must not starve the
+        # entries after it of compile-helper bandwidth.
         for name, fn in (("graetz", bench_graetz), ("mul", bench_mul),
-                         ("ring", bench_ring_subprocess),
                          ("dff", bench_dff),
                          ("dff_sweep", bench_dff_sweep),
                          ("dff_sweep4096",
                           lambda: bench_dff_sweep(batch=4096)),
-                         ("c6288", bench_c6288)):
+                         ("c6288", bench_c6288),
+                         ("ring", bench_ring_subprocess)):
             try:
                 fn()
             except Exception as e:

@@ -761,12 +761,18 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     dyn0 = spec.dyn(mode=MODE_TRAN, time=t0f)
     xs_parts, nn, all_done = [], 0, True
 
+    import time as _time
+    _dbg_t = [_time.perf_counter()]
+
     def _dbg(e, its, dones):
         if os.environ.get("CADNIP_PIT_DEBUG"):
             import sys
-            print(f"  exec {e}: its={np.asarray(its).tolist()} "
+            now = _time.perf_counter()
+            print(f"  exec {e} [{(now - _dbg_t[0]) * 1e3:.0f}ms]: "
+                  f"its={np.asarray(its).tolist()} "
                   f"dones={np.asarray(dones).astype(int).tolist()}",
                   file=sys.stderr, flush=True)
+            _dbg_t[0] = now
 
     def _carry_at(x_cur, t_cur, dynb=None):
         """Exact restart state at a solved trajectory point: the DAE is
@@ -990,22 +996,32 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         small_budget = 8
         use_small = False
 
-        def _runp(b):
-            keyp = ("tran_pit_seeded", W, ns, max_iters, b)
+        def _runp(nsd, b):
+            keyp = ("tran_pit_seeded", W, nsd, max_iters, b)
             if keyp not in cc.cache:
                 cc.cache[keyp] = cc.jit(make_pit_runner(
-                    cc, W, ns, max_iters, seeded=True, budget=b))
+                    cc, W, nsd, max_iters, seeded=True, budget=b))
             return cc.cache[keyp]
 
+        # Big-budget execs are dispatched in SHORT groups: every window
+        # in an exec pays the exec's full fori budget in trips, and
+        # skipped trips are not free (measured on graetz: two 16-window
+        # big-budget execs cost ~2 s of a 3.2 s run, ~90% skips). The
+        # startup windows that need the big budget are few, so big
+        # execs run ns_big windows at a time and only the calm
+        # small-budget tier uses the wide exec.
+        ns_big = min(4, ns)
         runl = None
         w = 1
         while w < n_win:
             te = t0f + w * W * dt
             if drift < fail_drift / 4:
+                rem = n_win - w
+                nsd = ns if (use_small and rem >= ns) else ns_big
                 bud = small_budget if use_small else big_budget
-                ok, k, Xprev, mx = _seeded_exec(_runp(bud), te, W, ns,
-                                                Xprev, f"s@{w}")
-                w += k if not ok else ns
+                ok, k, Xprev, mx = _seeded_exec(_runp(nsd, bud), te, W,
+                                                nsd, Xprev, f"s@{w}")
+                w += k if not ok else nsd
                 if ok or k > 0:
                     end = np.asarray(Xprev[-1])
                     drift = float(np.max(np.abs(end - prev_end))
