@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DTYPE, solve_method_for_backend
+from ..config import effective_platform, DTYPE, solve_method_for_backend
 from ..mna.assemble import make_assembler, make_rhs_assembler, pad_state
 from ..mna.newton import abstol_vector, damp_step, make_tran_newton
 from ..mna.spec import MODE_TRAN, MODE_TRANOP
@@ -172,7 +172,7 @@ def make_tran_runner(cc: CompiledCircuit, n_save: int, max_steps: int,
         # rewritten every Newton iteration; store it in f32 on TPU (half
         # the HBM traffic; 1e-7-relative waveform quantization) and f64
         # elsewhere
-        xs_dtype = jnp.float32 if jax.default_backend() == "tpu" else DTYPE
+        xs_dtype = DTYPE if effective_platform() == "cpu" else jnp.float32
         # W extra trash rows so windowed writes never clamp at the end
         xs = jnp.zeros((n_save + max(W, 0), n), xs_dtype)
         save_ts_pad = jnp.concatenate(
@@ -589,7 +589,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     save_np = np.asarray(save_ts)
     dt_min = float(np.min(np.diff(save_np))) if len(save_np) > 1 else dtmax
     W = int(np.ceil(dtmax / max(dt_min, 1e-300))) + 2
-    use_window = (W <= n_save // 4) and jax.default_backend() == "cpu"
+    use_window = (W <= n_save // 4) and effective_platform() == "cpu"
     save_window = W if use_window else 0
     # pad the breakpoint table to a coarse length quantum: odd tiny input
     # shapes (e.g. f64[2]) have produced device faults on the axon TPU
@@ -603,7 +603,7 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     # running longer than ~45 s faults the device, so the runner pauses
     # every pause_iters Newton iterations and the host re-enters with
     # full state continuity (no accuracy or step-control impact)
-    pause_iters = 1200 if jax.default_backend() == "tpu" else 0
+    pause_iters = 0 if effective_platform() == "cpu" else 1200
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
            trace, save_window, int(delay_hist), pause_iters,
            None if _vmap_axes is None else str(_vmap_axes))

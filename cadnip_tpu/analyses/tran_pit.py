@@ -278,41 +278,55 @@ def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
     return tuple(reversed(gs))
 
 
+def _window_dx(R, D, Lm, active, n, Wl, lane_major, mixed_scan, mdv,
+               is_v, dtype):
+    """One window-Newton linear solve: the block lower-bidiagonal system
+    D_k dx_k = -R_k - L_k dx_{k-1} via lane-major Gauss-Jordan + prefix
+    scan (batch-major vmapped fallback above n=40), with the global
+    voltage-step clamp. Shared by the ladder and flat runners."""
+    if lane_major:
+        Mg, cg = _gj_lanes(jnp.moveaxis(D, 0, -1),
+                           jnp.moveaxis(Lm, 0, -1), R.T, n)
+        gate = (active[:, 0] * (jnp.arange(Wl) > 0)).astype(dtype)
+        Ml64 = -Mg * gate[None, None, :]
+        cl64 = -cg * active[:, 0][None, :]
+        if mixed_scan:
+            Ml32 = Ml64.astype(jnp.float32)
+            dxT = _scan_lanes(
+                Ml32, cl64.astype(jnp.float32)).astype(dtype)
+            dxp = jnp.pad(dxT, ((0, 0), (1, 0)))[:, :Wl]
+            delta = (sum(Ml64[:, j, :] * dxp[j][None, :]
+                         for j in range(n)) + cl64 - dxT)
+            e = _scan_lanes(
+                Ml32, delta.astype(jnp.float32)).astype(dtype)
+            dx = (dxT + e).T
+        else:
+            dx = _scan_lanes(Ml64, cl64).T
+    else:
+        rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
+        sol = jax.vmap(gauss_solve)(D, rhs)
+        M = -sol[..., :n] * active[:, None, :1].astype(sol.dtype)
+        cvec = -sol[..., n] * active.astype(sol.dtype)
+        M = M.at[0].set(jnp.zeros((n, n), M.dtype))
+        _, dx = jax.lax.associative_scan(_affine_combine, (M, cvec))
+        dx = dx.astype(dtype)
+    if mdv > 0:
+        vstep = jnp.max(jnp.where(is_v[None, :], jnp.abs(dx), 0.0),
+                        axis=1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, mdv / jnp.maximum(vstep, 1e-300))
+    return dx
+
+
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                     max_iters: int = 40, coarsen: int = 8,
-                    coarse_min: int = 32, seeded: bool = False,
-                    rescue: bool = False, budget: int | None = None):
-    """Build run(x0, q0, qd0, lim0, t0, dt, params, dyn0) ->
-    (xs [n_win*W, n], its [n_win], done [n_win], carry) where carry =
+                    coarse_min: int = 32, rescue: bool = False):
+    """Build the LADDER runner: run(x0, q0, qd0, lim0, t0, dt, params,
+    dyn0) -> (xs [n_win*W, n], its, done, carry) where carry =
     (x, Q, qdot, lim) at the last point — the host chains executions of
     n_win windows each (one long execution faults the axon backend,
-    CLAUDE.md ~45 s pathology).
-
-    seeded=True builds the PERIODIC-SEEDING variant: the carry also
-    holds the previous window's full waveform Xprev [W, n] and every
-    window runs ONE finest-grid Newton seeded at Xprev — no
-    coarse-to-fine ladder, no constant-seed crawl. (A secant
-    extrapolation Xprev + (Xprev - Xprev2) was tried and REVERTED:
-    measured on TPU it bought graetz nothing — 221 vs 213 iters — and
-    the overshoot through the diode exponentials diverged the `mul`
-    charge pump outright, 21.6 s fail vs the ladder's 7.3 s.) Valid
-    when the window span is an integer number of source periods (see
-    `common_period`) AND the per-period envelope drift is inside the
-    Newton basin — the driver measures the drift and falls back to the
-    ladder runner when it is large. The caller solves the first window
-    with the ladder runner to produce the initial Xprev. AUTONOMOUS
-    oscillators reuse the same runner with a MEASURED period (see
-    `tran_pit(osc=True)`).
-
-    budget overrides the per-window fori trip count for SEEDED runners.
-    Steady-state seeded windows converge in 1-3 iterations, but every
-    window pays the FULL fori budget in trips (skipped trips are
-    cond-identity carries, not free: measured on graetz, ~95% of all
-    trips were skips under the 64 budget). The host dispatches a
-    small-budget variant once windows run calm and falls back to the
-    big-budget variant when a window exhausts the small budget — a
-    budget failure is NOT a seeding-basin failure, so it must not
-    trip the drift gate."""
+    CLAUDE.md ~45 s pathology). Each window runs the coarse-to-fine
+    seeding ladder from a constant seed. Periodic/oscillator seeding is
+    the separate `make_flat_runner` (waveform-seeded, pooled budget)."""
     assemble = make_assembler(cc)
     n = cc.n
     grids = level_grids(W, coarsen, coarse_min)
@@ -379,7 +393,7 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
         return jax.vmap(assemble, in_axes=(0, 0, None, dyn_axes))(
             X, lim, params, dynv)
 
-    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0, Xprev=None):
+    def run(x0, q0, qd0, lim0, t0, dt, params, dyn0):
 
         def newton_level(tw_l, c0_l, Wl, X0, Q_last, qd_last, be,
                          miters, mdv):
@@ -450,40 +464,8 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # completes monotonically instead of crawling against
                 # charge-amplified noise (C*dv/h exceeds the 1e-12 A
                 # branch-current abstol for any accepted uV dv upstream)
-                if lane_major:
-                    Mg, cg = _gj_lanes(jnp.moveaxis(D, 0, -1),
-                                       jnp.moveaxis(Lm, 0, -1), R.T, n)
-                    gate = (active[:, 0] * (jnp.arange(Wl) > 0)
-                            ).astype(DTYPE)
-                    Ml64 = -Mg * gate[None, None, :]
-                    cl64 = -cg * active[:, 0][None, :]
-                    if mixed_scan:
-                        Ml32 = Ml64.astype(jnp.float32)
-                        dxT = _scan_lanes(
-                            Ml32, cl64.astype(jnp.float32)).astype(DTYPE)
-                        dxp = jnp.pad(dxT, ((0, 0), (1, 0)))[:, :Wl]
-                        delta = (sum(Ml64[:, j, :] * dxp[j][None, :]
-                                     for j in range(n)) + cl64 - dxT)
-                        e = _scan_lanes(
-                            Ml32, delta.astype(jnp.float32)).astype(DTYPE)
-                        dx = (dxT + e).T
-                    else:
-                        dx = _scan_lanes(Ml64, cl64).T
-                else:
-                    rhs = jnp.concatenate([Lm, R[..., None]], axis=-1)
-                    sol = jax.vmap(gauss_solve)(D, rhs)
-                    M = -sol[..., :n] * active[:, None, :1].astype(sol.dtype)
-                    cvec = -sol[..., n] * active.astype(sol.dtype)
-                    M = M.at[0].set(jnp.zeros((n, n), M.dtype))
-                    _, dx = jax.lax.associative_scan(
-                        _affine_combine, (M, cvec))
-                    dx = dx.astype(DTYPE)
-                if mdv > 0:
-                    vstep = jnp.max(
-                        jnp.where(is_v[None, :], jnp.abs(dx), 0.0),
-                        axis=1, keepdims=True)
-                    dx = dx * jnp.minimum(1.0, mdv
-                                          / jnp.maximum(vstep, 1e-300))
+                dx = _window_dx(R, D, Lm, active, n, Wl, lane_major,
+                                mixed_scan, mdv, is_v, DTYPE)
                 Xn = X + dx
                 finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
                 Xn = jnp.where(finite, Xn, X)
@@ -526,36 +508,6 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 return X, lim, it, done, Fl, Ql
             X, lim, _, it, done = out
             return X, lim, it, done, None, None
-
-        def win_body_seeded(carry, tw):
-            # `poisoned`: a diverged window's carry/seed is garbage, so
-            # every window after it would burn its full 64-iteration
-            # budget computing more garbage. Short-circuit them (cheap
-            # skipped trips); the host salvages the converged PREFIX
-            # and restarts (qd = -f(x) is exact on the trajectory).
-            x_last, Q_last, qd_last, lim_last, Xprev, poisoned = carry
-
-            def do(c):
-                x_l, Q_l, qd_l, lim_l, Xp, _ = c
-                X, lim, it, done, Fl, Ql = newton_level(
-                    tw, 2.0 / dt, W, Xp, Q_l, qd_l, False,
-                    budget or max(max_iters, 64), max_dv)
-                if big:
-                    F1, Q1 = Fl[-1], Ql[-1]
-                else:
-                    # carry needs F/Q at the LAST point only — a single-
-                    # point assemble (row W-1 of the limited path), not a
-                    # full-window eval
-                    F1, Q1, _, _, _ = assemble(
-                        pad_state(X[-1]), lim[-1], params,
-                        dyn0._replace(time=tw[-1]))
-                return ((X[-1], Q1, -F1, lim[-1], X, ~done),
-                        (X, it[None], done))
-
-            def skip(c):
-                return c, (c[4], jnp.int32(0)[None], jnp.asarray(False))
-
-            return jax.lax.cond(poisoned, skip, do, carry)
 
         def win_body(carry, tw):
             x_last, Q_last, qd_last, lim_last = carry
@@ -652,14 +604,154 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
 
         times = (t0 + dt * (1.0 + jnp.arange(n_win * W, dtype=DTYPE))
                  ).reshape(n_win, W)
-        if seeded:
-            carry0 = (x0, q0, qd0, lim0, Xprev, jnp.asarray(False))
-            carry, (Xs, its, dones) = jax.lax.scan(
-                win_body_seeded, carry0, times)
-        else:
-            carry0 = (x0, q0, qd0, lim0)
-            carry, (Xs, its, dones) = jax.lax.scan(win_body, carry0, times)
+        carry0 = (x0, q0, qd0, lim0)
+        carry, (Xs, its, dones) = jax.lax.scan(win_body, carry0, times)
         return Xs.reshape(n_win * W, n), its, dones, carry
+
+    return run
+
+
+def make_flat_runner(cc: CompiledCircuit, W: int, nw: int, trips: int):
+    """WAVEFORM-SEEDED window Newton with ONE pooled trip budget (flat).
+
+    run(q0, qd0, t0, dt, params, dyn0, Xseed) ->
+      (xs [nw*W, n], its [nw], w_done, Q_last, qd_last, X_exit)
+
+    Replaces the per-window fori budgets of the earlier seeded runner
+    (small/big budget tiers + a tail variant — each tier a separate
+    ~40-80 s serialized remote TPU compile, and every window paid its
+    full tier budget in cond-skip trips, measured ~1 ms each on axon).
+    Here ONE fori of `trips` trips serves whichever window is current:
+    a trip is one Newton iteration of window w seeded at the previous
+    window's waveform (same source phase, one period earlier), and when
+    the carried per-point acceptance shows the window converged the trip
+    instead ADVANCES — banks the window into the output buffer, seeds
+    window w+1 with its waveform, and re-anchors the trapezoidal
+    carry-in row (Q, qdot = -F) from the converged endpoint. On small
+    circuits a converging iteration advances INLINE (accept-on-own-dx +
+    a single-point assemble at the accepted endpoint), so a steady
+    window costs 1-2 trips total with zero skip waste. The budget pools
+    across windows — a 40-iteration startup window and 1-iteration
+    steady windows share the same exec with no cliff and no variant zoo.
+
+    If the budget exhausts mid-window the host banks the w_done finished
+    windows and calls again: X_exit is the in-progress iterate, so
+    partial Newton progress carries over (only the boolean acceptance
+    state is re-derived). w_done can exceed the caller's remaining
+    window count (tail overshoot — periodic sources make extra windows
+    harmless); the host truncates. Big-VA circuits (PSP/BSIM class)
+    keep exactly ONE instance of the device-eval graph: the inline
+    advance is disabled and convergence is observed on the next trip's
+    evaluation, whose F/Q at the converged iterate then provide the
+    carry re-anchor (one observe-trip per window, as before)."""
+    assemble = make_assembler(cc)
+    n = cc.n
+    big = any(g.model.va_setup is not None for g in cc.groups)
+    lane_major = n <= 40
+    atol = abstol_vector(cc)
+    spec = cc.spec
+    reltol = spec.reltol
+    max_dv = spec.max_dv
+    is_v = jnp.asarray((cc.classes == 0))
+    res_eps = 1e-9 if jax.default_backend() == "cpu" else 3e-7
+    mixed_scan = os.environ.get("CADNIP_PIT_SCAN", "") != "f64"
+
+    from ..mna.spec import DynSpec
+    dyn_axes = DynSpec(temp=None, time=0, gmin=None, gshunt=None,
+                       srcfact=None, mode=None)
+
+    def vassemble(X, lim, params, dynv):
+        return jax.vmap(assemble, in_axes=(0, 0, None, dyn_axes))(
+            X, lim, params, dynv)
+
+    iota_w = jnp.arange(nw, dtype=jnp.int32)
+
+    def run(q0, qd0, t0, dt, params, dyn0, Xseed):
+        c0 = 2.0 / dt
+
+        def advance(c, nit, X_a, F1, Q1):
+            """Bank window w (waveform X_a, endpoint residual F1/charge
+            Q1), seed window w+1 with the same waveform."""
+            w = c[0]
+            lim_n = jax.vmap(assemble.init_lim)(pad_state(X_a))
+            return (w + 1, X_a, lim_n, jnp.zeros((W, n), bool),
+                    Q1, -F1, nit)
+
+        def step(c):
+            w, X, lim, ok_dx_prev, Q_last, qd_last, _nit = c
+            tw = t0 + dt * (jnp.float64(W) * w.astype(DTYPE) + 1.0
+                            + jnp.arange(W, dtype=DTYPE))
+            dynv = dyn0._replace(time=tw)
+            F, Q, G, C, limn = vassemble(pad_state(X), lim, params, dynv)
+            prevF = jnp.concatenate([-qd_last[None], F[:-1]], 0)
+            prevQ = jnp.concatenate([Q_last[None], Q[:-1]], 0)
+            R = F + prevF + c0 * (Q - prevQ)
+            rowscale = (jnp.abs(F) + jnp.abs(prevF)
+                        + c0 * (jnp.abs(Q) + jnp.abs(prevQ)))
+            ok_res = jnp.abs(R) <= res_eps * rowscale + atol[None, :]
+            okp = jnp.all(ok_dx_prev | ok_res, axis=1, keepdims=True)
+            frozen = jnp.cumprod(okp.astype(DTYPE), axis=0)
+            conv0 = frozen[-1, 0] > 0.5
+
+            def adv_now(_):
+                # window already converged at entry: F/Q just computed
+                # AT the converged iterate provide the carry re-anchor
+                return advance(c, jnp.int32(0), X, F[-1], Q[-1])
+
+            def newton(_):
+                active = 1.0 - frozen
+                D = G + c0 * C
+                Lm = jnp.concatenate([
+                    jnp.zeros((1, n, n), DTYPE),
+                    G[:-1] - c0 * C[:-1]], 0)
+                dx = _window_dx(R, D, Lm, active, n, W, lane_major,
+                                mixed_scan, max_dv, is_v, DTYPE)
+                Xn = X + dx
+                finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
+                Xn = jnp.where(finite, Xn, X)
+                ok_dx = (jnp.abs(dx) <= reltol * jnp.maximum(
+                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) & finite
+                c_upd = (w, Xn, limn, ok_dx, Q_last, qd_last,
+                         jnp.int32(1))
+                if big:
+                    return c_upd
+
+                def adv_fresh(_):
+                    F1, Q1, _g, _c, _l = assemble(
+                        pad_state(Xn[-1]), limn[-1], params,
+                        dyn0._replace(time=tw[-1]))
+                    return advance(c_upd, jnp.int32(1), Xn, F1, Q1)
+
+                return jax.lax.cond(jnp.all(ok_dx), adv_fresh,
+                                    lambda _: c_upd, None)
+
+            return jax.lax.cond(conv0, adv_now, newton, None)
+
+        def trip(c, _):
+            # The banked waveforms leave through the scan's PER-TRIP ys
+            # emission (X doubles as next window's seed, so the advance
+            # trip's emitted X IS window w's converged waveform) and are
+            # gathered into window order once post-loop. An earlier
+            # variant carried an [nw, W, n] output buffer through the
+            # loop instead — the cond branch copies of that carry
+            # doubled the per-trip cost (measured 26 ms vs 12 ms,
+            # graetz W=20000).
+            c2 = jax.lax.cond(c[0] < nw, step,
+                              lambda c_: c_[:6] + (jnp.int32(0),), c)
+            return c2, (c2[0], c2[6], c2[1])
+
+        lim0 = jax.vmap(assemble.init_lim)(pad_state(Xseed))
+        init = (jnp.int32(0), Xseed, lim0, jnp.zeros((W, n), bool),
+                q0, qd0, jnp.int32(0))
+        (w, X, _lim, _ok, Q_last, qd_last, _f), (ws, nits, Xs) = \
+            jax.lax.scan(trip, init, None, length=trips)
+        # window k's waveform = X emitted at its advance trip (ws k->k+1)
+        wprev = jnp.concatenate([jnp.zeros(1, ws.dtype), ws[:-1]])
+        onehot = ((ws == wprev + 1)[None, :]
+                  & (ws[None, :] == iota_w[:, None] + 1)).astype(DTYPE)
+        Xout = jnp.einsum("kt,twn->kwn", onehot, Xs)
+        return (Xout.reshape(nw * W, n), ws, nits, w,
+                Q_last, qd_last, X)
 
     return run
 
@@ -727,13 +819,15 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         if uic:
             x0 = jnp.zeros(cc.n, DTYPE)
         else:
-            if big and jax.default_backend() != "cpu":
-                # hybrid flow for PSP/BSIM-class circuits: the DC
-                # homotopy jit takes minutes on XLA:CPU (with the
-                # fusion pass disabled, see CompiledCircuit.jit) but
-                # does not come back from the remote TPU compile
-                # helper at all (>35 min, then errors). Solve the op
-                # on the host CPU backend; the windows run on TPU.
+            if jax.default_backend() != "cpu":
+                # hybrid flow: the DC op solves on the host CPU backend
+                # and only the windows run on TPU. For PSP/BSIM-class
+                # circuits this is forced (the homotopy jit does not
+                # come back from the remote TPU compile helper at all,
+                # >35 min then errors); for small circuits it simply
+                # saves one 40-80 s serialized remote compile per
+                # circuit — the XLA:CPU compile is seconds and the op
+                # solve itself is milliseconds at these sizes.
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
                     op = dc(cc, jax.device_put(params, cpu),
@@ -778,44 +872,88 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         """Exact restart state at a solved trajectory point: the DAE is
         f(x) + dq/dt = 0, so qdot = -f(x) ON the trajectory — also the
         t0 initialization (jitted: a 28k-op PSP-class eval run eagerly
-        through the axon tunnel costs minutes)."""
+        through the axon tunnel costs minutes). Small circuits run this
+        on the host CPU backend — the values are O(n) scalars used to
+        re-anchor the next exec, and the CPU compile is ~a second vs a
+        serialized 40-80 s remote TPU compile."""
         keyr = ("pit_rhs",)
         if keyr not in cc.cache:
             cc.cache[keyr] = cc.jit(lambda x, p, d: (
                 rhs(pad_state(x), p, d),
                 assemble.init_lim(pad_state(x))))
         dynb = dyn0 if dynb is None else dynb
-        (f1, q1), lim1 = cc.cache[keyr](
-            x_cur, params, dynb._replace(time=t_cur))
-        return (x_cur, q1, -f1, lim1)
+        if not big and jax.default_backend() != "cpu":
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                (f1, q1), lim1 = cc.cache[keyr](
+                    jax.device_put(jnp.asarray(x_cur), cpu),
+                    jax.device_put(params, cpu),
+                    dynb._replace(time=t_cur))
+            f1, q1 = (jnp.asarray(np.asarray(f1), DTYPE),
+                      jnp.asarray(np.asarray(q1), DTYPE))
+            lim1 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a)), lim1)
+        else:
+            (f1, q1), lim1 = cc.cache[keyr](
+                x_cur, params, dynb._replace(time=t_cur))
+        return (jnp.asarray(x_cur, DTYPE), q1, -f1, lim1)
 
     carry = _carry_at(x0, t0f, dyn_op)
 
-    def _seeded_exec(runp, te, Wb, nsb, Xprev, label):
-        """One seeded exec of nsb windows. On failure, salvage the
-        converged window PREFIX (the poisoned-carry short-circuit makes
-        post-failure windows cheap skips) and restart the carry at the
-        prefix end. Returns (all_ok, n_windows_accepted, Xprev',
-        max_window_iters) — the max drives the small/big budget policy."""
-        nonlocal carry, nn
-        xs_e, its, dones, carry6 = runp(
-            *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
-            params, dyn0, Xprev)
-        nn += int(np.asarray(jnp.sum(its)))
-        _dbg(label, its, dones)
-        d = np.asarray(dones).ravel()
-        mx = int(np.asarray(its).max())
-        if d.all():
-            carry = carry6[:4]
-            xs_parts.append(xs_e)
-            return True, nsb, carry6[4], mx
-        k = int(np.argmin(d))          # first failed window
-        if k > 0:
-            xs_np = xs_e[: k * Wb]
+    def _flat_loop(Wb, nwb, off_steps, n_windows, Xseed, label,
+                   trips_per_win=3):
+        """Drive the flat (pooled-budget waveform-seeded) runner over
+        n_windows windows of Wb steps starting at step offset
+        off_steps. ONE compiled variant serves startup and steady
+        windows alike; a zero-progress exec (seed outside the Newton
+        basin) falls back to the robust ladder for that one window,
+        then seeding resumes. Returns the number of windows NOT
+        completed (0 on success)."""
+        nonlocal carry, nn, all_done
+        trips = trips_per_win * nwb + 4
+        keyf = ("tran_pit_flat", Wb, nwb, trips)
+        if keyf not in cc.cache:
+            cc.cache[keyf] = cc.jit(make_flat_runner(cc, Wb, nwb, trips))
+        runf = cc.cache[keyf]
+        w = 0
+        stall = 0
+        while w < n_windows:
+            te = t0f + (off_steps + w * Wb) * dt
+            xs_e, ws, nits, wv, Qc, qdc, Xexit = runf(
+                carry[1], carry[2], jnp.asarray(te, DTYPE),
+                jnp.asarray(dt, DTYPE), params, dyn0, Xseed)
+            wv = int(np.asarray(wv))
+            nn += int(np.asarray(jnp.sum(nits)))
+            if os.environ.get("CADNIP_PIT_DEBUG"):
+                wsv, nv = np.asarray(ws), np.asarray(nits)
+                its = np.bincount(
+                    np.minimum(np.concatenate([[0], wsv[:-1]]), nwb - 1),
+                    weights=nv, minlength=nwb).astype(int)
+                _dbg(f"{label}@{w}", its, wv)
+            if wv == 0:
+                # seed outside the basin for this window: robust ladder
+                # for ONE window (rescue tier on repeat), then resume
+                stall += 1
+                if stall > 3:
+                    return n_windows - w
+                all_done = _solve_steps_robust(
+                    off_steps + w * Wb, Wb, stall > 1) and all_done
+                w += 1
+                Xseed = _tail_rows(Wb)
+                continue
+            stall = 0
+            take = min(wv, n_windows - w)
+            xs_np = xs_e[: take * Wb]
             xs_parts.append(xs_np)
-            carry = _carry_at(xs_np[-1], te + k * Wb * dt)
-            Xprev = xs_np[-Wb:]
-        return False, k, Xprev, mx
+            if take < wv:
+                # tail overshoot (cheaper than compiling a narrower
+                # variant): re-anchor the carry at the truncation point
+                carry = _carry_at(xs_np[-1], te + take * Wb * dt)
+            else:
+                carry = (xs_np[-1], Qc, qdc, carry[3])
+            w += take
+            Xseed = Xexit
+        return 0
 
     def _tail_rows(Wn):
         """Last Wn solved rows, gathered across as many xs_parts as
@@ -946,133 +1084,40 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 pi = max(2, int(round(pstep_f)))
                 tail = acc[-pi:]
                 reps = int(np.ceil(Wb / pi)) + 1
-                Xprev = jnp.asarray(np.tile(tail, (reps, 1))[-Wb:], DTYPE)
+                Xseed = jnp.asarray(np.tile(tail, (reps, 1))[-Wb:], DTYPE)
                 nsB = min(n_exec, n_winB)
-                keyp = ("tran_pit_seeded", Wb, nsB, max_iters)
-                if keyp not in cc.cache:
-                    cc.cache[keyp] = cc.jit(make_pit_runner(
-                        cc, Wb, nsB, max_iters, seeded=True))
-                runp = cc.cache[keyp]
-                for e in range((n_winB + nsB - 1) // nsB):
-                    te = t0f + done_pts * dt
-                    ok, k, Xprev, _mx = _seeded_exec(runp, te, Wb, nsB,
-                                                     Xprev, f"oscB{e}")
-                    # each good exec appends nsB full windows (the last
-                    # may overshoot tstop; truncated below); on failure
-                    # the salvaged prefix counts and the trailing
-                    # ladder loop re-solves the rest
-                    done_pts += (nsB if ok else k) * Wb
-                    if not ok:
-                        break
+                # the carry for the flat runner needs exact (Q, qdot)
+                # at the phase-A endpoint — already maintained in
+                # `carry` by _ladder_window; trips_per_win=3 because
+                # big-VA circuits pay one observe-trip per window on
+                # top of the 2-3 Newton trips
+                left = _flat_loop(Wb, nsB, done_pts, n_winB, Xseed,
+                                  "oscB", trips_per_win=4 if big else 3)
+                done_pts += (n_winB - left) * Wb
         # trailing remainder — and the no-period-found fallback:
         # short ladder windows to the end
         while done_pts < n_steps:
             all_done = _ladder_window() and all_done
     elif use_seeded:
-        # ---- ADAPTIVE periodic seeding. Window 0 always runs the
-        # ladder. Each later exec dispatches the seeded runner unless
-        # the measured per-window envelope drift has previously BROKEN
-        # seeding (self-calibrating gate: no fixed tolerance — graetz's
-        # 17 V startup drift seeds fine at ~40 iters, while `mul`'s
-        # charge pump diverges; only the circuit can tell us which).
-        # A failed seeded exec salvages its converged window prefix and
-        # the failure drift level becomes the gate; seeding is retried
-        # once the drift falls to a quarter of it.
+        # ---- PERIODIC WINDOW SEEDING via the flat runner. Window 0
+        # always runs the constant-seed ladder; every later window is
+        # Newton-seeded with the previous window's waveform (same
+        # source phase, one period earlier) under one pooled trip
+        # budget. There is no drift gate any more: a drifting window
+        # simply spends more of the pooled budget, and only a window
+        # whose seed is fully outside the Newton basin (zero-progress
+        # exec) falls back to the ladder — the flat runner's stall
+        # path. This replaced the two-budget-tier + drift-gate design
+        # (3 compiled variants + a stale-drift gate, ADVICE.md r3).
         all_done = _solve_steps_robust(0, W)
-        Xprev = _tail_rows(W)
         ns = min(n_exec, n_win - 1)
-        prev_end, w_prev = np.asarray(x0), 0
-        end = np.asarray(Xprev[-1])
-        drift = float(np.max(np.abs(end - prev_end)))
-        prev_end, w_prev = end, 1
-        fail_drift = np.inf
-        # Two seeded budget tiers. Steady windows converge in 1-3
-        # iterations but pay the full fori budget in trips; once an
-        # exec runs calm the host switches to the small-budget variant
-        # (measured: skipped trips were ~95% of graetz's PIT wall
-        # clock). A small-budget exhaustion is a BUDGET failure: retry
-        # the window with the big budget, do NOT trip the drift gate.
-        big_budget = max(max_iters, 64)
-        small_budget = 8
-        use_small = False
-
-        def _runp(nsd, b):
-            keyp = ("tran_pit_seeded", W, nsd, max_iters, b)
-            if keyp not in cc.cache:
-                cc.cache[keyp] = cc.jit(make_pit_runner(
-                    cc, W, nsd, max_iters, seeded=True, budget=b))
-            return cc.cache[keyp]
-
-        # Big-budget execs are dispatched in SHORT groups: every window
-        # in an exec pays the exec's full fori budget in trips, and
-        # skipped trips are not free (measured on graetz: two 16-window
-        # big-budget execs cost ~2 s of a 3.2 s run, ~90% skips). The
-        # startup windows that need the big budget are few, so big
-        # execs run ns_big windows at a time and only the calm
-        # small-budget tier uses the wide exec.
-        ns_big = min(4, ns)
-        runl = None
-        w = 1
-        while w < n_win:
-            te = t0f + w * W * dt
-            if drift < fail_drift / 4:
-                rem = n_win - w
-                nsd = ns if (use_small and rem >= ns) else ns_big
-                bud = small_budget if use_small else big_budget
-                ok, k, Xprev, mx = _seeded_exec(_runp(nsd, bud), te, W,
-                                                nsd, Xprev, f"s@{w}")
-                w += k if not ok else nsd
-                if ok or k > 0:
-                    end = np.asarray(Xprev[-1])
-                    drift = float(np.max(np.abs(end - prev_end))
-                                  ) / max(w - w_prev, 1)
-                    prev_end, w_prev = end, w
-                if ok:
-                    use_small = mx <= small_budget - 2
-                    continue
-                if bud == small_budget:
-                    use_small = False    # budget failure: retry big
-                    continue
-                fail_drift = min(fail_drift, max(drift, 1e-12))
-                if w >= n_win:
-                    break
-                te = t0f + w * W * dt
-            # ladder exec (drift outside the seeding basin)
-            if runl is None:
-                keyl = ("tran_pit", W, ns, max_iters, coarsen,
-                        coarse_min)
-                if keyl not in cc.cache:
-                    cc.cache[keyl] = cc.jit(make_pit_runner(
-                        cc, W, ns, max_iters, coarsen, coarse_min))
-                runl = cc.cache[keyl]
-            xs_e, its, dones, carry_l = runl(
-                *carry, jnp.asarray(te, DTYPE), jnp.asarray(dt, DTYPE),
-                params, dyn0)
-            nn += int(np.asarray(jnp.sum(its)))
-            _dbg(f"l@{w}", its, dones)
-            d = np.asarray(dones).ravel()
-            if d.all():
-                carry = carry_l
-                xs_parts.append(xs_e)
-                Xprev = xs_e[-W:]
-                w += ns
-            else:
-                # salvage the converged prefix, re-solve the hard window
-                # by halving (a poisoned carry must never be accepted —
-                # the run would "converge" on a garbage trajectory)
-                k = int(np.argmin(d))
-                if k > 0:
-                    xs_np = xs_e[: k * W]
-                    xs_parts.append(xs_np)
-                    carry = _carry_at(xs_np[-1], te + k * W * dt)
-                all_done = _solve_steps_robust((w + k) * W, W,
-                                               True) and all_done
-                w += k + 1
-                Xprev = _tail_rows(W)
-            end = np.asarray(Xprev[-1])
-            drift = float(np.max(np.abs(end - prev_end))
-                          ) / max(w - w_prev, 1)
-            prev_end, w_prev = end, w
+        left = _flat_loop(W, ns, W, n_win - 1, _tail_rows(W), "s")
+        while left > 0:
+            # flat seeding gave up (repeated stalls): finish the
+            # remaining windows with the robust ladder, one at a time
+            all_done = _solve_steps_robust(
+                (n_win - left) * W, W) and all_done
+            left -= 1
     else:
         key = ("tran_pit", W, n_exec, max_iters, coarsen, coarse_min)
         if key not in cc.cache:

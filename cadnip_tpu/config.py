@@ -45,6 +45,20 @@ def default_backend() -> str:
     return jax.default_backend()
 
 
+def effective_platform() -> str:
+    """Platform that a jit traced RIGHT NOW will target: honors a
+    `with jax.default_device(...)` context (the hybrid CPU-op/TPU-window
+    flows), falling back to the process default backend. Backend-
+    dependent lowering choices (Pallas kernels, f32 Jacobians, loop
+    styles) must use this, not jax.default_backend() — the latter keeps
+    reporting the TPU inside the CPU context (measured: the CPU-side DC
+    solve picked the Mosaic Gauss-Jordan kernel and failed to lower)."""
+    eff = getattr(jax.config, "jax_default_device", None)
+    if eff is not None:
+        return eff.platform
+    return jax.default_backend()
+
+
 def solve_method_for_backend(backend: str | None = None) -> str:
     """Linear-solve method selector. 'auto' resolves per system size in
     ops.linalg.resolve_method: native f64 LU on CPU; on TPU, unrolled

@@ -176,6 +176,7 @@ class Elaborator:
             "temper": lambda: self.temp if self.temp is not None else 27.0,
         }
         self.analyses: list[Analysis] = []
+        self.statistics_cards: list = []
         self.meas_cards: list[str] = []
         self.data_tables: dict = {}
         self.options: dict = {}
@@ -210,6 +211,11 @@ class Elaborator:
                              funcs=self.expr_funcs)
         if kind == "group" and len(val) == 1:
             return self.value_of(val[0], scope, extra)
+        if kind == "str":
+            return val                      # string parameter, verbatim
+        if kind == "vec":
+            # bracketed Spectre vector [a b (expr) ...] -> value tuple
+            return tuple(self.value_of(f, scope, extra) for f in val)
         raise ElabError(f"expected a value, got {field!r}")
 
     # ------------------------------------------------ pass 1: scope building
@@ -229,7 +235,24 @@ class Elaborator:
             elif isinstance(card, IfBlock):
                 elements.append(card)
             elif isinstance(card, DotCard):
-                if card.kind.startswith("spectre_"):
+                if card.kind == "spectre_func":
+                    # user-defined netlist function (reference
+                    # parse_function_decl): args bind over the defining
+                    # scope's parameter chain
+                    fname = card.kwargs["name"]
+                    fargs = [a.lower() for a in card.kwargs["args"]]
+                    fast = card.kwargs["expr"]
+
+                    def fn(*vals, _a=fargs, _e=fast, _s=scope):
+                        return eval_expr(_e, _ScopeEnv(
+                            _s, dict(zip(_a, vals))),
+                            funcs=self.expr_funcs)
+
+                    self.expr_funcs[fname] = fn
+                elif card.kind in ("spectre_statistics",
+                                   "spectre_paramset"):
+                    self.statistics_cards.append(card)
+                elif card.kind.startswith("spectre_"):
                     self.analyses.append(Analysis(
                         card.kind[8:], {"fields": card.fields,
                                         "kwargs": card.kwargs,
@@ -326,11 +349,21 @@ class Elaborator:
                 return cand
         return path
 
+    @staticmethod
+    def _parse_any(text):
+        """Dialect-sniffing file parse: included files may be in either
+        dialect regardless of the top deck's (Spectre `include` of a
+        .scs library with `library/section` blocks, or a SPICE .lib)."""
+        from .spectre import looks_like_spectre, parse_spectre
+        if looks_like_spectre(text):
+            return parse_spectre(text)
+        return parse_netlist(text, title_line=False)
+
     def _include(self, card, scope, elements):
         path = self._resolve_path(card.fields[0][1])
         with open(path) as fh:
             text = fh.read()
-        sub = parse_netlist(text, title_line=False)
+        sub = self._parse_any(text)
         olddirs = self.include_dirs
         self.include_dirs = [os.path.dirname(path)] + olddirs
         try:
@@ -345,7 +378,7 @@ class Elaborator:
             section = card.fields[1][1]
             with open(path) as fh:
                 text = fh.read()
-            sub = parse_netlist(text, title_line=False)
+            sub = self._parse_any(text)
             olddirs, oldsec = self.include_dirs, self.section
             self.include_dirs = [os.path.dirname(path)] + olddirs
             self.section = section
@@ -808,7 +841,7 @@ class Elaborator:
                               val("delay", 0.0), val("damp", 0.0))
             elif ty == "pwl":
                 pts = card.kwargs.get("wave")
-                if pts is not None and pts[0] == "group":
+                if pts is not None and pts[0] in ("group", "vec"):
                     vals = [self.value_of(x, scope) for x in pts[1]]
                     wave = wf.PWL(vals)
             if wave is None:
@@ -1268,7 +1301,12 @@ def simulate(source, *, include_dirs=(), section=None,
     results = {"all": [], "circuit": cc}
     for an in el.analyses:
         if an.args.get("spectre"):
-            sol = _run_spectre_analysis(cc, el, an)
+            if an.kind in ("sweep", "montecarlo"):
+                sol = _run_spectre_container(
+                    source, cc, el, an, include_dirs=include_dirs,
+                    section=section, spec=spec)
+            else:
+                sol = _run_spectre_analysis(cc, el, an)
             if sol is not None:
                 results[an.kind] = sol
                 results["all"].append((an.kind, sol))
@@ -1387,7 +1425,20 @@ def montecarlo_elaborate(source, n: int, seed: int = 0, *,
     return cc, batched, axes
 
 
-def _run_spectre_analysis(cc, el, an):
+def _sp_num(tok):
+    """Numeric value of a Spectre kw token (no scope)."""
+    from .spectre import parse_spectre_number
+    if tok[0] == "word":
+        num = parse_spectre_number(tok[1])
+        if num is not None:
+            return num
+    try:
+        return float(tok[1])
+    except (TypeError, ValueError):
+        return None
+
+
+def _run_spectre_analysis(cc, el, an, params=None):
     """Run one Spectre analysis statement (tran stop=.. step=.., dc,
     ac start=.. stop=.., noise ...)."""
     from ..analyses.ac import ac as ac_run, acdec
@@ -1399,36 +1450,123 @@ def _run_spectre_analysis(cc, el, an):
 
     def val(key, default=None):
         if key in kw:
-            from .spectre import parse_spectre_number
-            tok = kw[key]
-            if tok[0] == "word":
-                num = parse_spectre_number(tok[1])
-                if num is not None:
-                    return num
-            try:
-                return float(tok[1])
-            except (TypeError, ValueError):
-                return default
+            num = _sp_num(kw[key])
+            return default if num is None else num
         return default
 
     if an.kind in ("op", "dc"):
-        return dc_run(cc)
+        return dc_run(cc, params)
     if an.kind == "tran":
         stop = val("stop")
         step = val("step", stop / 1000.0 if stop else None)
         if stop is None:
             return None
-        return tran_run(cc, (val("start", 0.0), stop), dt=step,
+        return tran_run(cc, (val("start", 0.0), stop), params, dt=step,
                         dtmax=val("maxstep"))
     if an.kind == "ac":
         fstart = val("start", 1.0)
         fstop = val("stop", 1e9)
         freqs = acdec(int(val("dec", 10)), fstart, fstop)
-        return ac_run(cc, freqs)
+        return ac_run(cc, freqs, params)
     if an.kind == "noise":
         out = kw.get("out")
         fstart = val("start", 1.0)
         fstop = val("stop", 1e6)
         freqs = acdec(int(val("dec", 10)), fstart, fstop)
-        return noise_run(cc, out[1] if out else None, freqs)
+        return noise_run(cc, out[1] if out else None, freqs, params)
+    return None
+
+
+def _sweep_values(kw):
+    """Sweep grid from Spectre kwargs: values=[...] | start/stop +
+    step | lin=N | dec=N (reference parse_analysis sweep params)."""
+    if "values" in kw and kw["values"][0] == "vec":
+        return [_sp_num(f) for f in kw["values"][1]]
+    start, stop = _sp_num(kw.get("start", ("word", ""))), \
+        _sp_num(kw.get("stop", ("word", "")))
+    if start is None or stop is None:
+        raise ElabError("sweep needs values=[...] or start=/stop=")
+    if "step" in kw:
+        step = _sp_num(kw["step"])
+        return list(np.arange(start, stop + step * 0.5, step))
+    if "lin" in kw:
+        return list(np.linspace(start, stop, int(_sp_num(kw["lin"]))))
+    if "dec" in kw:
+        npts = int(round(np.log10(stop / start)
+                         * _sp_num(kw["dec"]))) + 1
+        return list(np.geomspace(start, stop, npts))
+    return list(np.linspace(start, stop, 11))
+
+
+def _run_spectre_container(source, cc, el, an, *, include_dirs=(),
+                           section=None, spec=None):
+    """`name sweep ... { children }` / `name montecarlo ... { children }`
+    (reference Spectre sweep/montecarlo statements with child analyses).
+
+    sweep: over a device parameter (`dev=r1 param=r`, or
+    `param=inst.param`) via the zero-recompile `alter` path, or over a
+    netlist `parameters` name via textual alter + re-elaboration
+    (reference `alter`, `src/spectre.jl:515-571`).
+    montecarlo: numruns re-elaborations with a seeded RNG driving the
+    deck's distribution functions (agauss/gauss/aunif/unif — the
+    SpectreEnvironment Monte-Carlo hook). `statistics { vary ... }`
+    blocks are parsed and preserved but not yet sampled."""
+    from .netlist import alter_text
+
+    kw = an.args["kwargs"]
+    body = kw.get("body") or []
+    children = [c for c in body
+                if isinstance(c, DotCard) and c.kind.startswith("spectre_")]
+
+    def run_children(cc2, el2, params=None):
+        out = {}
+        for c in children:
+            a = Analysis(c.kind[8:], {"fields": c.fields,
+                                      "kwargs": c.kwargs, "spectre": True})
+            s = _run_spectre_analysis(cc2, el2, a, params)
+            if s is not None:
+                out[a.kind] = s
+        return out
+
+    if an.kind == "sweep":
+        vals = _sweep_values(kw)
+        dev = kw.get("dev")
+        prm = kw.get("param")
+        if prm is None:
+            raise ElabError("sweep needs param=")
+        target = (f"{dev[1]}.{prm[1]}" if dev is not None
+                  else str(prm[1])).lower()
+        runs = []
+        if target in cc.param_slots:
+            base = cc.params0()
+            for v in vals:
+                p = cc.alter(base, **{target: float(v)})
+                runs.append(run_children(cc, el, p))
+        else:
+            # netlist parameter: textual alter + re-elaborate per point
+            for v in vals:
+                src2 = alter_text(source, {target: float(v)})
+                cir2, el2 = elaborate_netlist(
+                    src2, include_dirs=include_dirs, section=section)
+                cc2 = cir2.compile(spice_spec(el2, spec))
+                runs.append(run_children(cc2, el2))
+        return {"param": target, "values": vals, "runs": runs}
+
+    if an.kind == "montecarlo":
+        numruns = int(_sp_num(kw.get("numruns", ("word", "1"))) or 1)
+        seed = int(_sp_num(kw.get("seed", ("word", "1"))) or 1)
+        if el.statistics_cards:
+            el._warn_once("mc_statistics",
+                          "montecarlo: statistics{vary} sampling not "
+                          "implemented; only deck distribution functions "
+                          "(agauss/gauss/...) are randomized")
+        runs = []
+        for i in range(numruns):
+            rng = np.random.default_rng(seed + i)
+            cir2, el2 = elaborate_netlist(
+                source, include_dirs=include_dirs, section=section,
+                rng=rng)
+            cc2 = cir2.compile(spice_spec(el2, spec))
+            runs.append(run_children(cc2, el2))
+        return {"numruns": numruns, "seed": seed, "runs": runs}
     return None

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DTYPE
+from ..config import effective_platform, DTYPE
 from ..ops.bbd import BBDPartition, partition_graph
 from .assemble import _group_eval
 from .devices import CLASS_V
@@ -217,7 +217,7 @@ def make_bbd_assembler(cc: CompiledCircuit, part: BBDPartition):
     # approximate Jacobian as long as the residual F stays exact f64
     # (inexact-Newton argument; the residual convergence test and LTE all
     # run off F/Q, which remain f64)
-    gc_dtype = DTYPE if jax.default_backend() == "cpu" else jnp.float32
+    gc_dtype = DTYPE if effective_platform() == "cpu" else jnp.float32
     gc_plans = []
     for t in range(4):
         idx = np.concatenate([np.asarray(c[2][t], np.int64)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DTYPE, solve_method_for_backend
+from ..config import effective_platform, DTYPE, solve_method_for_backend
 from ..ops.linalg import solve as dense_solve
 from .assemble import make_assembler, pad_state
 from .devices import CLASS_I, CLASS_Q, CLASS_V
@@ -54,7 +54,7 @@ def _make_assemble_solve(cc: CompiledCircuit, assemble, method):
     matvec(M_repr, v) applies a matrix in the backend representation —
     for both the dense and the block-bordered-diagonal forms."""
     method = method or solve_method_for_backend()
-    if method == "auto" and jax.default_backend() != "cpu" and \
+    if method == "auto" and effective_platform() != "cpu" and \
             any(g.model.va_setup is not None for g in cc.groups):
         # PSP/BSIM-class Jacobians mix ~1e-3-ohm access-resistance rows
         # with 1e-12-S gmin entries; the f32 Gauss-Jordan inverse +

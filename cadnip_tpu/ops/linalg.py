@@ -131,7 +131,8 @@ _warned_tpu_lu = False
 def resolve_method(method: str | None, n: int) -> str:
     """'auto'/None -> concrete method for an n-sized system."""
     if method in (None, "auto"):
-        backend = jax.default_backend()
+        from ..config import effective_platform
+        backend = effective_platform()
         if backend == "cpu":
             return "lu64"
         if n <= 1024:

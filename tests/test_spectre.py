@@ -216,3 +216,179 @@ ic out=0.25
 """)
     k = _kinds(nl.cards)
     assert k["ic"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round-4 grammar depth (reference NyanSpectreNetlistParser
+# src/parse/parse.jl: parse_conditional_block, parse_function_decl,
+# parse_array, library files, sweep/montecarlo statements)
+
+def test_spectre_if_else_blocks():
+    """Braced conditionals select elements against parameters, same
+    evaluation path as SPICE .if (parse_conditional_block)."""
+    deck = """
+simulator lang=spectre
+parameters mode=2
+v1 (in 0) vsource dc=6
+if (mode == 1) {
+  r1 (in out) resistor r=1K
+  r2 (out 0) resistor r=1K
+} else if (mode == 2) {
+  r1 (in out) resistor r=2K
+  r2 (out 0) resistor r=1K
+} else {
+  r1 (in out) resistor r=5K
+  r2 (out 0) resistor r=1K
+}
+"""
+    cc = parse_spice(deck)
+    sol = dc(cc)
+    assert sol["out"] == pytest.approx(2.0, rel=1e-9)   # 6 * 1k/3k
+
+
+def test_spectre_user_function():
+    """`real f(...) { return expr; }` declarations become netlist
+    functions usable in parameter expressions (parse_function_decl)."""
+    cc = parse_spice("""
+simulator lang=spectre
+real rpar(real a, real b) {
+    return a*b/(a+b);
+}
+parameters rload=rpar(2K, 2K)
+v1 (in 0) vsource dc=3
+r1 (in out) resistor r=1K
+r2 (out 0) resistor r=rload
+""")
+    sol = dc(cc)
+    assert sol["out"] == pytest.approx(1.5, rel=1e-9)   # 3 * 1k/2k
+
+
+def test_spectre_vector_pwl_wave():
+    """Bracketed vectors (parse_array): `wave=[t v t v ...]` builds a
+    PWL source; solved value checked mid-ramp."""
+    res = simulate("""
+simulator lang=spectre
+v1 (in 0) vsource type=pwl wave=[0 0 1m 1 2m 1]
+r1 (in out) resistor r=1
+tr tran stop=2m step=10u
+""")
+    sol = res["tran"]
+    ts = np.asarray(sol.ts)
+    v = np.asarray(sol["out"])
+    k = int(np.argmin(np.abs(ts - 0.5e-3)))
+    assert v[k] == pytest.approx(0.5, abs=0.02)
+    assert v[-1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_spectre_library_sections(tmp_path):
+    """`library/section/endsection/endlibrary` + `include section=`
+    (reference Spectre library files): the selected section's cards
+    elaborate, others do not."""
+    lib = tmp_path / "corners.scs"
+    lib.write_text("""
+library mylib
+section tt
+parameters rv=1K
+endsection
+section ss
+parameters rv=3K
+endsection
+endlibrary
+""")
+    deck = f"""
+simulator lang=spectre
+include "{lib}" section=ss
+v1 (in 0) vsource dc=4
+r1 (in out) resistor r=rv
+r2 (out 0) resistor r=1K
+"""
+    cc = parse_spice(deck)
+    sol = dc(cc)
+    assert sol["out"] == pytest.approx(1.0, rel=1e-9)   # 4 * 1k/4k
+
+
+def test_spectre_string_params_and_noop_stmts():
+    """Double-quoted string parameters parse and pass through; audit
+    statements (check/set/shell/info) are consumed without effect."""
+    cc = parse_spice("""
+simulator lang=spectre
+myopts options reltol=1e-4 rawfmt="psfbin"
+c1 check windows=yes
+s1 set dc=1
+sh shell cmd="ls"
+v1 (in 0) vsource dc=2
+r1 (in 0) resistor r=1K
+""")
+    sol = dc(cc)
+    assert sol["in"] == pytest.approx(2.0)
+
+
+def test_spectre_sweep_device_param():
+    """`name sweep dev=.. param=.. values=[..] { child }` runs the child
+    analysis per point through the zero-recompile alter path."""
+    res = simulate("""
+simulator lang=spectre
+v1 (in 0) vsource dc=6
+r1 (in out) resistor r=2K
+r2 (out 0) resistor r=1K
+sw sweep dev=r1 param=r values=[1K 2K 5K] {
+  o1 dc
+}
+""")
+    sw = res["sweep"]
+    outs = [float(np.asarray(r["dc"]["out"])) for r in sw["runs"]]
+    assert outs == pytest.approx([3.0, 2.0, 1.0], rel=1e-9)
+
+
+def test_spectre_sweep_netlist_param():
+    """Sweeping a netlist `parameters` name re-elaborates per point via
+    textual alter (reference alter, src/spectre.jl:515-571)."""
+    res = simulate("""
+simulator lang=spectre
+parameters rtop=1K
+v1 (in 0) vsource dc=4
+r1 (in out) resistor r=rtop
+r2 (out 0) resistor r=1K
+sw sweep param=rtop start=1K stop=3K step=1K {
+  o1 dc
+}
+""")
+    sw = res["sweep"]
+    outs = [float(np.asarray(r["dc"]["out"])) for r in sw["runs"]]
+    assert outs == pytest.approx([2.0, 4.0 / 3.0, 1.0], rel=1e-9)
+
+
+def test_spectre_montecarlo():
+    """`montecarlo numruns=..` re-elaborates with a seeded RNG driving
+    the deck's distribution functions (SpectreEnvironment agauss)."""
+    res = simulate("""
+simulator lang=spectre
+parameters rv=agauss(1K, 100, 1)
+v1 (in 0) vsource dc=2
+r1 (in out) resistor r=rv
+r2 (out 0) resistor r=1K
+mc montecarlo numruns=8 seed=7 {
+  o1 dc
+}
+""")
+    mc = res["montecarlo"]
+    outs = np.array([float(np.asarray(r["dc"]["out"]))
+                     for r in mc["runs"]])
+    assert len(outs) == 8
+    assert outs.std() > 1e-3          # actually randomized
+    assert abs(outs.mean() - 1.0) < 0.2
+
+
+def test_spectre_inline_subckt():
+    """`inline subckt` elaborates like subckt (naming-only delta)."""
+    cc = parse_spice("""
+simulator lang=spectre
+inline subckt pair (a b)
+  ra (a m) resistor r=1K
+  rb (m b) resistor r=1K
+ends pair
+v1 (in 0) vsource dc=2
+x1 (in 0) pair
+""")
+    sol = dc(cc)
+    assert sol["x1.m"] == pytest.approx(1.0, rel=1e-9)
