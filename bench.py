@@ -192,14 +192,13 @@ def bench_mul():
     from cadnip_tpu.analyses.tran_pit import tran_pit
 
     cc = ct.parse_spice(MUL)
-    # window=1000 = ONE source period (10 us at 100 kHz, dt=10 ns):
-    # at 8 periods/window the charge pump's per-window envelope drift
-    # is outside the seeded-Newton basin; at one period EVERY window
-    # converges seeded (91->7 iters over the startup decade, 2-3
-    # steady — measured). windows_per_exec=64 amortizes dispatch over
-    # the 500 windows (the flat runner's pooled budget makes wide
-    # execs safe); max_iters=96 sizes the ladder rescue budget.
-    kw = dict(window=1000, windows_per_exec=64, max_iters=96)
+    # window=2000 = TWO source periods (10 us at 100 kHz, dt=10 ns):
+    # measured r4 sweep of the flat runner: W=1000 -> 3.25 s (500
+    # windows, 1 iter each — per-trip floor dominates), W=2000 ->
+    # 2.71 s (250 windows, ~3 iters), W=8000 -> 4.25 s (8x envelope
+    # drift costs ~8 iters/window). windows_per_exec=64 amortizes
+    # dispatch; max_iters=96 sizes the ladder rescue budget.
+    kw = dict(window=2000, windows_per_exec=64, max_iters=96)
     t0 = time.perf_counter()
     sol = tran_pit(cc, (0, 5e-3), 1e-8, **kw)
     np.asarray(sol.xs[-1])

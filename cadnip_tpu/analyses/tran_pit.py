@@ -135,6 +135,54 @@ def _gj_lanes(D, L, R, n):
     return X[:, :n, :], X[:, n, :]
 
 
+def _gj_lanes_static(D, L, R, n, perm):
+    """Lane-parallel Gauss-Jordan with a HOST-PRECOMPUTED static row
+    order (KLU-style static pivoting): the per-pivot argmax search and
+    the two full-tableau row-swap selects of `_gj_lanes` (~40% of its
+    traffic on [n, 2n+1, W] f64) are replaced by ONE static gather up
+    front. The order comes from partial-pivot LU of the op-point
+    Jacobian D0 = G + c0*C (see `tran_pit`); row equilibration keeps it
+    valid across the Newton path, and a bad pivot cannot silently
+    corrupt results — the f64 residual/dx acceptance just spends more
+    iterations, and a stalled window falls back to the (dynamically
+    pivoted) ladder runner."""
+    dt_ = D.dtype
+    rmax = jnp.max(jnp.abs(D), axis=1, keepdims=True)
+    rinv = 1.0 / jnp.maximum(rmax, jnp.asarray(1e-30, dt_))
+    Ab = jnp.concatenate([D * rinv, L * rinv, R[:, None, :] * rinv],
+                         axis=1)
+    Ab = Ab[jnp.asarray(perm, jnp.int32)]
+    for k in range(n):
+        piv = Ab[k, k, :]
+        piv = jnp.where(jnp.abs(piv) > 1e-30, piv,
+                        jnp.asarray(1e-30, dt_))
+        factor = Ab[:, k, :] / piv
+        factor = factor.at[k].set(0.0)
+        Ab = Ab - factor[:, None, :] * Ab[k][None]
+    diag = jnp.stack([Ab[i, i, :] for i in range(n)], 0)
+    diag = jnp.where(jnp.abs(diag) > 1e-30, diag,
+                     jnp.asarray(1e-30, dt_))
+    X = Ab[:, n:, :] / diag[:, None, :]
+    return X[:, :n, :], X[:, n, :]
+
+
+def static_pivot_order(D0):
+    """Partial-pivot LU row order of a representative (equilibrated)
+    Jacobian — the static order for `_gj_lanes_static`."""
+    A = np.array(D0, float)
+    n = A.shape[0]
+    A = A / np.maximum(np.abs(A).max(1, keepdims=True), 1e-30)
+    order = list(range(n))
+    for k in range(n):
+        p = k + int(np.argmax(np.abs(A[k:, k])))
+        if p != k:
+            A[[k, p]] = A[[p, k]]
+            order[k], order[p] = order[p], order[k]
+        piv = A[k, k] if abs(A[k, k]) > 1e-30 else 1e-30
+        A[k + 1:, k:] -= (A[k + 1:, k, None] / piv) * A[k, k:][None]
+    return tuple(order)
+
+
 def _scan_lanes(M, c):
     """Prefix composition of affine maps along the trailing lane axis:
     returns dx with dx_k = M_k dx_{k-1} + c_k, dx_0in = 0 (so dx = the
@@ -279,14 +327,18 @@ def level_grids(W: int, coarsen: int = 8, coarse_min: int = 32):
 
 
 def _window_dx(R, D, Lm, active, n, Wl, lane_major, mixed_scan, mdv,
-               is_v, dtype):
+               is_v, dtype, perm=None):
     """One window-Newton linear solve: the block lower-bidiagonal system
     D_k dx_k = -R_k - L_k dx_{k-1} via lane-major Gauss-Jordan + prefix
     scan (batch-major vmapped fallback above n=40), with the global
-    voltage-step clamp. Shared by the ladder and flat runners."""
+    voltage-step clamp. Shared by the ladder and flat runners.
+    `perm`: static pivot order -> `_gj_lanes_static`."""
     if lane_major:
-        Mg, cg = _gj_lanes(jnp.moveaxis(D, 0, -1),
-                           jnp.moveaxis(Lm, 0, -1), R.T, n)
+        gj = ((lambda D_, L_, R_: _gj_lanes_static(D_, L_, R_, n, perm))
+              if perm is not None
+              else (lambda D_, L_, R_: _gj_lanes(D_, L_, R_, n)))
+        Mg, cg = gj(jnp.moveaxis(D, 0, -1),
+                    jnp.moveaxis(Lm, 0, -1), R.T)
         gate = (active[:, 0] * (jnp.arange(Wl) > 0)).astype(dtype)
         Ml64 = -Mg * gate[None, None, :]
         cl64 = -cg * active[:, 0][None, :]
@@ -611,7 +663,8 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     return run
 
 
-def make_flat_runner(cc: CompiledCircuit, W: int, nw: int, trips: int):
+def make_flat_runner(cc: CompiledCircuit, W: int, nw: int, trips: int,
+                     perm=None):
     """WAVEFORM-SEEDED window Newton with ONE pooled trip budget (flat).
 
     run(q0, qd0, t0, dt, params, dyn0, Xseed) ->
@@ -705,7 +758,8 @@ def make_flat_runner(cc: CompiledCircuit, W: int, nw: int, trips: int):
                     jnp.zeros((1, n, n), DTYPE),
                     G[:-1] - c0 * C[:-1]], 0)
                 dx = _window_dx(R, D, Lm, active, n, W, lane_major,
-                                mixed_scan, max_dv, is_v, DTYPE)
+                                mixed_scan, max_dv, is_v, DTYPE,
+                                perm=perm)
                 Xn = X + dx
                 finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
                 Xn = jnp.where(finite, Xn, X)
@@ -750,8 +804,11 @@ def make_flat_runner(cc: CompiledCircuit, W: int, nw: int, trips: int):
         onehot = ((ws == wprev + 1)[None, :]
                   & (ws[None, :] == iota_w[:, None] + 1)).astype(DTYPE)
         Xout = jnp.einsum("kt,twn->kwn", onehot, Xs)
-        return (Xout.reshape(nw * W, n), ws, nits, w,
-                Q_last, qd_last, X)
+        # ONE packed host fetch per exec: every np.asarray on the axon
+        # backend is a tunnel roundtrip (~tens of ms); [ws | nits | w]
+        stats = jnp.concatenate([ws.astype(jnp.int32),
+                                 nits.astype(jnp.int32), w[None]])
+        return Xout.reshape(nw * W, n), stats, Q_last, qd_last, X
 
     return run
 
@@ -809,9 +866,23 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     use_seeded = bool(psteps) and n_win >= 2
 
     dyn_op = spec.dyn(mode=MODE_TRANOP, time=t0f)
+    default_params = params is None
     if params is None:
         params = cc.params0()
     params = ensure_setup(cc, params, dyn_op)
+
+    def _params_cpu():
+        """CPU copy of the param pytree for the hybrid CPU op/carry
+        solves. Each device_put of the ~dozens-of-leaves tree costs one
+        tunnel roundtrip per leaf (~160 ms measured on graetz), so the
+        default-params copy is cached per circuit."""
+        cpu = jax.devices("cpu")[0]
+        if not default_params:
+            return jax.device_put(params, cpu)
+        key = ("pit_params_cpu",)
+        if key not in cc.cache:
+            cc.cache[key] = jax.device_put(params, cpu)
+        return cc.cache[key]
 
     big = any(g.model.va_setup is not None for g in cc.groups)
     op_conv = True
@@ -830,8 +901,8 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 # solve itself is milliseconds at these sizes.
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
-                    op = dc(cc, jax.device_put(params, cpu),
-                            mode=MODE_TRANOP, time=t0f)
+                    op = dc(cc, _params_cpu(), mode=MODE_TRANOP,
+                            time=t0f)
                 x0 = jnp.asarray(np.asarray(op.x), DTYPE)
             else:
                 op = dc(cc, params, mode=MODE_TRANOP, time=t0f)
@@ -887,8 +958,7 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             with jax.default_device(cpu):
                 (f1, q1), lim1 = cc.cache[keyr](
                     jax.device_put(jnp.asarray(x_cur), cpu),
-                    jax.device_put(params, cpu),
-                    dynb._replace(time=t_cur))
+                    _params_cpu(), dynb._replace(time=t_cur))
             f1, q1 = (jnp.asarray(np.asarray(f1), DTYPE),
                       jnp.asarray(np.asarray(q1), DTYPE))
             lim1 = jax.tree_util.tree_map(
@@ -898,7 +968,31 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 x_cur, params, dynb._replace(time=t_cur))
         return (jnp.asarray(x_cur, DTYPE), q1, -f1, lim1)
 
+    _dbg("op+carry", np.zeros(0), 0)
     carry = _carry_at(x0, t0f, dyn_op)
+    _dbg("carry0", np.zeros(0), 0)
+
+    # static pivot order for the flat runner's Gauss-Jordan, from the
+    # op-point Jacobian (KLU-style; see _gj_lanes_static). Computed on
+    # the CPU backend; big-VA circuits skip it (the extra CPU jit of
+    # their Jacobian costs minutes).
+    perm = None
+    if cc.n <= 40 and not big \
+            and os.environ.get("CADNIP_PIT_STATIC", "1") != "0":
+        keyj = ("pit_jac0",)
+        if keyj not in cc.cache:
+            cc.cache[keyj] = cc.jit(lambda x, p, d: assemble(
+                pad_state(x), assemble.init_lim(pad_state(x)), p, d)[2:4])
+        if jax.default_backend() != "cpu":
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                G0, C0 = cc.cache[keyj](
+                    jax.device_put(jnp.asarray(x0), cpu), _params_cpu(),
+                    dyn0._replace(time=t0f))
+        else:
+            G0, C0 = cc.cache[keyj](x0, params, dyn0._replace(time=t0f))
+        perm = static_pivot_order(np.asarray(G0)
+                                  + (2.0 / dt) * np.asarray(C0))
 
     def _flat_loop(Wb, nwb, off_steps, n_windows, Xseed, label,
                    trips_per_win=3):
@@ -910,22 +1004,27 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         then seeding resumes. Returns the number of windows NOT
         completed (0 on success)."""
         nonlocal carry, nn, all_done
-        trips = trips_per_win * nwb + 4
-        keyf = ("tran_pit_flat", Wb, nwb, trips)
+        # pooled budget: ~2 trips/window steady + headroom so a typical
+        # startup window (40-90 iters measured on graetz/mul) still
+        # fits without a stall; trips beyond the banked windows are
+        # cond-skips (~1 ms each on axon — real but bounded waste)
+        trips = max(trips_per_win * nwb + 4, 32)
+        keyf = ("tran_pit_flat", Wb, nwb, trips, perm)
         if keyf not in cc.cache:
-            cc.cache[keyf] = cc.jit(make_flat_runner(cc, Wb, nwb, trips))
+            cc.cache[keyf] = cc.jit(make_flat_runner(cc, Wb, nwb, trips,
+                                                     perm=perm))
         runf = cc.cache[keyf]
         w = 0
         stall = 0
         while w < n_windows:
             te = t0f + (off_steps + w * Wb) * dt
-            xs_e, ws, nits, wv, Qc, qdc, Xexit = runf(
+            xs_e, st, Qc, qdc, Xexit = runf(
                 carry[1], carry[2], jnp.asarray(te, DTYPE),
                 jnp.asarray(dt, DTYPE), params, dyn0, Xseed)
-            wv = int(np.asarray(wv))
-            nn += int(np.asarray(jnp.sum(nits)))
+            st = np.asarray(st)
+            wsv, nv, wv = st[:trips], st[trips:2 * trips], int(st[-1])
+            nn += int(nv.sum())
             if os.environ.get("CADNIP_PIT_DEBUG"):
-                wsv, nv = np.asarray(ws), np.asarray(nits)
                 its = np.bincount(
                     np.minimum(np.concatenate([[0], wsv[:-1]]), nwb - 1),
                     weights=nv, minlength=nwb).astype(int)

@@ -181,7 +181,15 @@ class Parser:
         # semantics, built while parsing nature/discipline blocks
         self.natures = {}
         self.disc_names = set()
-        self.acc_kind = {"V": "V", "I": "I"}
+        # standard disciplines.vams access functions (the header is a
+        # builtin no-op include): electrical V/I, thermal Temp/Pwr
+        # (PSP103T self-heating uses Temp(br_rth)/Pwr(br_ith)),
+        # kinematic/rotational/magnetic for completeness
+        self.acc_kind = {"V": "V", "I": "I",
+                         "Temp": "V", "Pwr": "I",
+                         "Pos": "V", "F": "I",
+                         "Theta": "V", "Tau": "I",
+                         "MMF": "V", "Phi": "I"}
 
     # ---- token helpers
     def peek(self, k=0):

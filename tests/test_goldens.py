@@ -38,9 +38,12 @@ def _compare(name, netlist, span, nodes, scale, tol, dt=None):
     return worst
 
 
+@pytest.mark.integration
 @pytest.mark.skipif(not os.path.exists(os.path.join(GOLD, "graetz.npz")),
                     reason="goldens not generated")
 def test_graetz_matches_golden():
+    # integration group: full 1 s serial replay is minutes of CPU on the
+    # 1-core box (house rule: main suite finishes in minutes)
     # full-span replay on the identical grid: the same f64 CPU program is
     # deterministic, so any drift here is a real behavior change. (A
     # PREFIX-span run diverges at the 3e-4 relative level — that is the
@@ -50,6 +53,7 @@ def test_graetz_matches_golden():
              dt=1e-6)
 
 
+@pytest.mark.integration
 @pytest.mark.skipif(not os.path.exists(os.path.join(GOLD, "mul.npz")),
                     reason="goldens not generated")
 def test_mul_matches_golden():
