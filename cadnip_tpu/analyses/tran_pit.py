@@ -953,7 +953,7 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 rhs(pad_state(x), p, d),
                 assemble.init_lim(pad_state(x))))
         dynb = dyn0 if dynb is None else dynb
-        if not big and jax.default_backend() != "cpu":
+        if jax.default_backend() != "cpu":
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 (f1, q1), lim1 = cc.cache[keyr](
@@ -976,9 +976,12 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     # op-point Jacobian (KLU-style; see _gj_lanes_static). Computed on
     # the CPU backend; big-VA circuits skip it (the extra CPU jit of
     # their Jacobian costs minutes).
+    # measured on graetz (W=20000): no wall-clock change (3.5 vs 3.3 s,
+    # same 155 window-iters) — the newton trip is HBM-traffic bound on
+    # the [n, 2n+1, W] tableau, not pivot-search bound; opt-in only
     perm = None
     if cc.n <= 40 and not big \
-            and os.environ.get("CADNIP_PIT_STATIC", "1") != "0":
+            and os.environ.get("CADNIP_PIT_STATIC", "0") == "1":
         keyj = ("pit_jac0",)
         if keyj not in cc.cache:
             cc.cache[keyj] = cc.jit(lambda x, p, d: assemble(

@@ -56,11 +56,48 @@ def ensure_setup(cc, params, dyn=None):
             (k, v.tobytes()) for k, v in arrs.items())))
         mat = cache.get(fp)
         if mat is None:
+            mat = _setup_disk_get(g.model, fp)
+        if mat is None:
             mat = g.model.va_setup(arrs, dyn)
-            cache[fp] = mat
+            _setup_disk_put(g.model, fp, mat)
+        cache[fp] = mat
         p["__setup__"] = jnp.asarray(mat, DTYPE)
         out[gi] = p
     return out
+
+
+def _setup_disk_path(model, fp):
+    """Disk-cache path for a hoisted setup matrix: the PSP103-class
+    eager setup pass costs ~100 s of host CPU per PROCESS (measured on
+    the VACASK ring: 107 s), so it rides the same persistent cache dir
+    as the XLA executables (CADNIP_COMPILE_CACHE), keyed by model name
+    + a content hash of (group params, temperature)."""
+    import hashlib
+    d = os.environ.get("CADNIP_COMPILE_CACHE", "")
+    if not d or d == "0" or not os.path.isdir(d):
+        return None
+    h = hashlib.sha256(repr(fp).encode()).hexdigest()[:24]
+    return os.path.join(d, f"vasetup_{model.name}_{h}.npy")
+
+
+def _setup_disk_get(model, fp):
+    path = _setup_disk_path(model, fp)
+    if path and os.path.exists(path):
+        try:
+            return np.load(path)
+        except Exception:
+            return None
+    return None
+
+
+def _setup_disk_put(model, fp, mat):
+    path = _setup_disk_path(model, fp)
+    if path:
+        try:
+            np.save(path + ".tmp.npy", np.asarray(mat))
+            os.replace(path + ".tmp.npy", path)
+        except Exception:
+            pass
 
 
 def make_sorted_scatter(idx_arrays, out_size):

@@ -100,8 +100,23 @@ def _safe_pow_jvp(primals, tangents):
     return v, ga * da + gb * db
 
 
+def _safe_exp(x):
+    """exp with a linear continuation above x=85 (limexp shape).
+
+    Exact on every physical device regime (exp(85) = 8.2e36; junction
+    arguments stay below ~40). The knee exists for the axon TPU
+    backend: its emulated-f64 exp computes at f32 RANGE, so a raw exp
+    overflows to inf at ~88 (CPU f64: 709) — a wild constant-seed
+    Newton excursion through a PSP103 junction then freezes the point
+    through the runner's finite-guard forever (measured: the ring
+    ladder window burned its whole 96-iteration budget with the eval
+    at the DC point finite and matching CPU to 5.7e-14)."""
+    xc = jnp.minimum(x, 85.0)
+    return jnp.exp(xc) * (1.0 + jnp.maximum(x - 85.0, 0.0))
+
+
 # math function tables (jnp, traced)
-_F1 = {"exp": jnp.exp, "ln": _safe_ln, "log": _safe_log10,
+_F1 = {"exp": _safe_exp, "ln": _safe_ln, "log": _safe_log10,
        "log10": _safe_log10,
        "sqrt": _safe_sqrt, "abs": jnp.abs, "sin": jnp.sin, "cos": jnp.cos,
        "tan": jnp.tan, "asin": jnp.arcsin, "acos": jnp.arccos,
