@@ -1034,7 +1034,12 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 _dbg(f"{label}@{w}", its, wv)
             if wv == 0:
                 # seed outside the basin for this window: robust ladder
-                # for ONE window (rescue tier on repeat), then resume
+                # for ONE window (rescue tier on repeat), then resume.
+                # Big-VA circuits bail out instead — a Wb-sized ladder
+                # would be a fresh ~10-minute remote compile; the
+                # caller's small-window ladder finishes the span.
+                if big:
+                    return n_windows - w
                 stall += 1
                 if stall > 3:
                     return n_windows - w
@@ -1127,11 +1132,15 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         done_pts = 0
         P = None
 
-        # phase-A budget: the PSP103 ring's first constant-seed window
-        # needs 48 iterations on CPU f64; the TPU backend's emulated-f64
-        # noise pushes the same window past 64 — budget 96 (unused trips
-        # are cheap cond-skips)
-        mi_osc = max(max_iters, 96)
+        # phase-A budget: the PSP103 ring's constant-seed windows need
+        # 57-91 iterations at W=16 on CPU f64 (measured r4 — W>=64
+        # windows exhaust any budget: the constant seed leaves the
+        # basin, and each discard-halve retry on the TPU is a fresh
+        # ~10-minute remote compile, so callers should pass osc_window
+        # at the CONVERGING size directly); 160 leaves margin for the
+        # TPU backend's emulated-f64 noise, and unused trips are
+        # cond-skips (~1 ms at these window sizes)
+        mi_osc = max(max_iters, 160)
 
         def _get_ladder(Wx):
             keyx = ("tran_pit", Wx, 1, mi_osc, coarsen, coarse_min)
@@ -1201,19 +1210,39 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         while done_pts < n_steps:
             all_done = _ladder_window() and all_done
     elif use_seeded:
-        # ---- PERIODIC WINDOW SEEDING via the flat runner. Window 0
-        # always runs the constant-seed ladder; every later window is
-        # Newton-seeded with the previous window's waveform (same
-        # source phase, one period earlier) under one pooled trip
-        # budget. There is no drift gate any more: a drifting window
-        # simply spends more of the pooled budget, and only a window
-        # whose seed is fully outside the Newton basin (zero-progress
-        # exec) falls back to the ladder — the flat runner's stall
-        # path. This replaced the two-budget-tier + drift-gate design
-        # (3 compiled variants + a stale-drift gate, ADVICE.md r3).
-        all_done = _solve_steps_robust(0, W)
-        ns = min(n_exec, n_win - 1)
-        left = _flat_loop(W, ns, W, n_win - 1, _tail_rows(W), "s")
+        # ---- PERIODIC WINDOW SEEDING via the flat runner. Window 0's
+        # seed comes from a COARSE serial CPU integration (dtmax=8*dt)
+        # — the constant-seed ladder variant it replaces was a separate
+        # ~200-400 s remote TPU compile used for exactly ONE window per
+        # run, while the serial window costs ~0.3 s at runtime with a
+        # local (CPU-AOT-cached) compile. The flat runner polishes
+        # window 0 from that seed under the same acceptance tests, so
+        # accuracy is unchanged. Every later window is Newton-seeded
+        # with the previous window's waveform (same source phase, one
+        # period earlier) under one pooled trip budget. There is no
+        # drift gate: a drifting window simply spends more of the
+        # pooled budget, and only a window whose seed is fully outside
+        # the Newton basin (zero-progress exec) falls back to the
+        # ladder — the flat runner's stall path. This replaced the
+        # two-budget-tier + drift-gate design (ADVICE.md r3).
+        from .tran import tran as serial_tran
+        grid = t0f + dt * (1.0 + np.arange(W))
+        if jax.default_backend() != "cpu":
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                s0 = serial_tran(cc, (t0f, t0f + W * dt), _params_cpu(),
+                                 dt=8 * dt, dtmax=8 * dt, save_ts=grid,
+                                 x0=jax.device_put(jnp.asarray(carry[0]),
+                                                   cpu))
+            Xseed = jnp.asarray(np.asarray(s0.xs), DTYPE)
+        else:
+            s0 = serial_tran(cc, (t0f, t0f + W * dt), params,
+                             dt=8 * dt, dtmax=8 * dt, save_ts=grid,
+                             x0=carry[0])
+            Xseed = jnp.asarray(np.asarray(s0.xs), DTYPE)
+        _dbg("cpu-seed", np.zeros(0), 0)
+        ns = min(n_exec, n_win)
+        left = _flat_loop(W, ns, 0, n_win, Xseed, "s")
         while left > 0:
             # flat seeding gave up (repeated stalls): finish the
             # remaining windows with the robust ladder, one at a time
