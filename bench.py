@@ -243,23 +243,32 @@ def bench_ring():
     # windows exhaust the budget and every discard-halve retry is a
     # fresh ~10-minute serialized remote compile
     kw = dict(window=2048, windows_per_exec=4, osc=True, osc_window=16)
+    def gates(sol):
+        nn = int(np.asarray(sol.stats.nnewton))
+        fail = bool(np.asarray(sol.stats.fail))
+        P = detect_period(np.asarray(sol.xs), 0.05e-9)
+        v1 = np.asarray(sol["1"])
+        ok = (P is not None and 2e-9 < P < 6e-9
+              and -0.3 < v1.min() < 0.1 and 1.0 < v1.max() < 1.5)
+        return nn, fail, P, v1, ok
+
     t0 = time.perf_counter()
     sol = tran_pit(cc, (0, 1e-6), 0.05e-9, **kw)
     np.asarray(sol.xs[-1])
     log(f"ring warmup (incl. compile): {time.perf_counter() - t0:.2f}s")
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        sol = tran_pit(cc, (0, 1e-6), 0.05e-9, **kw)
-        sol.xs.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    wall = float(np.mean(times))
-    nn = int(np.asarray(sol.stats.nnewton))
-    fail = bool(np.asarray(sol.stats.fail))
-    P = detect_period(np.asarray(sol.xs), 0.05e-9)
-    v1 = np.asarray(sol["1"])
-    ok = (P is not None and 2e-9 < P < 6e-9
-          and -0.3 < v1.min() < 0.1 and 1.0 < v1.max() < 1.5)
+    # physics evidence BEFORE the timed run: a cold ring run can spend
+    # its whole budget in serialized remote compiles, and a killed
+    # process must still have logged whether the waveform is right
+    nn, fail, P, v1, ok = gates(sol)
+    log(f"ring warmup physics: {nn} window-iters, "
+        f"period={(P or 0) * 1e9:.3f}ns, "
+        f"v1=[{v1.min():.3f},{v1.max():.3f}] physics_ok={ok} "
+        f"all_converged={not fail}")
+    t0 = time.perf_counter()
+    sol = tran_pit(cc, (0, 1e-6), 0.05e-9, **kw)
+    sol.xs.block_until_ready()
+    wall = time.perf_counter() - t0
+    nn, fail, P, v1, ok = gates(sol)
     log(f"ring (PSP103, MEASURED full 1 us span): {wall:.2f}s, "
         f"{nn} window-iters, period={(P or 0) * 1e9:.3f}ns, "
         f"v1=[{v1.min():.3f},{v1.max():.3f}] physics_ok={ok} "

@@ -1187,6 +1187,29 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             # when the shape recurs). Max phase slip from quantization:
             # m * 0.125 steps per window — a few % of a period.
             pstep_f = round(P / dt * 4.0) / 4.0
+            # cross-run stabilization: a fraction-of-a-step difference
+            # in the measured period flips the 1/4-step quantization and
+            # every distinct Wb is a fresh ~10-minute remote compile for
+            # PSP-class circuits. Pin pstep_f to the first measurement
+            # (disk note next to the compile cache) while it stays
+            # within 2%.
+            _cdir = os.environ.get("CADNIP_COMPILE_CACHE", "")
+            if _cdir and _cdir != "0" and os.path.isdir(_cdir):
+                import hashlib
+                _pf = os.path.join(_cdir, "pit_osc_pstep_" + hashlib.sha256(
+                    f"{cc.title}:{cc.n}:{W}:{dt:.6e}".encode()
+                ).hexdigest()[:16] + ".txt")
+                try:
+                    if os.path.exists(_pf):
+                        stored = float(open(_pf).read())
+                        if abs(stored - pstep_f) <= 0.02 * pstep_f:
+                            pstep_f = stored
+                        else:
+                            open(_pf, "w").write(repr(pstep_f))
+                    else:
+                        open(_pf, "w").write(repr(pstep_f))
+                except Exception:
+                    pass
             m = max(1, int(round(W / pstep_f)))
             Wb = int(round(m * pstep_f))
             rem = n_steps - done_pts

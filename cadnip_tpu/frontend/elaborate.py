@@ -278,7 +278,7 @@ class Elaborator:
             for k, v in card.kwargs.items():
                 try:
                     self.options[k] = self.value_of(v, scope)
-                except (ExprError, ElabError):
+                except (ExprError, ElabError, ValueError):
                     self.options[k] = v[1]
             for f in card.fields:
                 if f[0] == "word":
@@ -1543,9 +1543,16 @@ def _run_spectre_container(source, cc, el, an, *, include_dirs=(),
                 p = cc.alter(base, **{target: float(v)})
                 runs.append(run_children(cc, el, p))
         else:
-            # netlist parameter: textual alter + re-elaborate per point
+            # netlist parameter: re-elaborate per point. SPICE decks go
+            # through the span-preserving textual alter; Spectre decks
+            # append an overriding `parameters` card (later cards win in
+            # the scope chain — the SpectreNetlistParser alter shape)
             for v in vals:
-                src2 = alter_text(source, {target: float(v)})
+                try:
+                    src2 = alter_text(source, {target: float(v)})
+                except Exception:
+                    src2 = (str(source)
+                            + f"\nparameters {target}={float(v)}\n")
                 cir2, el2 = elaborate_netlist(
                     src2, include_dirs=include_dirs, section=section)
                 cc2 = cir2.compile(spice_spec(el2, spec))

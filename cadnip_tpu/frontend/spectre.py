@@ -469,7 +469,7 @@ def _parse_block(lines, pos, end_name):
             continue
         # statement-position keywords: `name options|info|alter k=v ...`
         if len(words) >= 2 and words[1].lower() in ("options", "option"):
-            fields = split_fields(" ".join(words[2:]), ln)
+            fields = sp_fields(" ".join(words[2:]), ln)
             cards.append(DotCard("option", ln, s,
                                  fields=[f for f in fields
                                          if f[0] != "kw"],
