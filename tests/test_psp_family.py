@@ -81,17 +81,21 @@ def test_psp103t_self_heating_dc():
     (`psp103t.va` SelfHeating thermal network Pwr/Temp/RTH)."""
     m = _load("psp103t.va", "PSP103TVA")
     assert m.terminals == ("D", "G", "S", "B", "DT")
+    # SWGEO=0 (local-parameter mode) is REQUIRED for RTH to act: in the
+    # default global mode (SWGEO=1) PSP103 computes RTH_p = RTHO +
+    # RTHW1/deltaRth (both default 0) and gates Pdiss on RTH_p > 1e-3,
+    # so the local RTH is ignored and dt == 0 is the model's own answer
+    # (PSP103_module.include:1302 vs :1497, gate at :2597).
+    params = {"W": 10e-6, "W__given": 1.0, "L": 1e-6, "L__given": 1.0,
+              "RTH": 500.0, "RTH__given": 1.0,
+              "SWGEO": 0.0, "SWGEO__given": 1.0}
     if m.va_specialize is not None:
-        m = m.va_specialize({"W": 10e-6, "W__given": 1.0,
-                             "L": 1e-6, "L__given": 1.0,
-                             "RTH": 500.0, "RTH__given": 1.0})
+        m = m.va_specialize(params)
     c = Circuit("psp_t")
     c.V("vdd", "vdd", "0", dc=1.2)
     c.V("vg", "g", "0", dc=0.9)
     c.R("rd", "vdd", "d", 2e3)
-    c.add(m, "m1", ("d", "g", "0", "0", "dt"),
-          W=10e-6, W__given=1.0, L=1e-6, L__given=1.0,
-          RTH=500.0, RTH__given=1.0)
+    c.add(m, "m1", ("d", "g", "0", "0", "dt"), **params)
     cc = c.compile(SimSpec())
     sol = ct.dc(cc)
     assert bool(np.asarray(sol.converged))
@@ -103,7 +107,9 @@ def test_psp103t_self_heating_dc():
     dt_rise = float(np.asarray(sol["dt"]))
     p_diss = i_d * vd
     assert dt_rise > 0.0
-    assert dt_rise == pytest.approx(500.0 * p_diss, rel=0.5)
+    # exact at default STRTH=0: Pwr(br_rth) <+ Temp/RTH_T balances
+    # Pwr(br_ith) <+ -Pdiss with Pdiss = Ids*Vds == i(rd)*v(d)
+    assert dt_rise == pytest.approx(500.0 * p_diss, rel=0.01)
 
 
 @pytest.mark.integration
