@@ -17,7 +17,8 @@ from .mna.devices import (  # noqa: E402
 from .mna.waveforms import DC as DCWave, Pulse, Sin, PWL, Exp, Sffm  # noqa: E402
 from .analyses.dc import dc, op_tran, DCSolution  # noqa: E402
 from .analyses.tran import tran, TranSolution  # noqa: E402
-from .analyses.ac import ac, acdec, ACSolution  # noqa: E402
+from .analyses.ac import (  # noqa: E402
+    ac, acdec, ACSolution, subsystem, DescriptorSISO)
 from .analyses.noise import noise, NoiseSolution  # noqa: E402
 from .analyses.sweeps import (  # noqa: E402
     Sweep, ProductSweep, TandemSweep, SerialSweep, dcsweep, transweep,
@@ -36,7 +37,8 @@ __all__ = [
     "VCCS", "CCCS", "CCVS", "DIODE", "DIODE_RS", "MOSFET1",
     "DCWave", "Pulse", "Sin", "PWL", "Exp", "Sffm",
     "dc", "op_tran", "DCSolution", "tran", "TranSolution",
-    "ac", "acdec", "ACSolution", "noise", "NoiseSolution",
+    "ac", "acdec", "ACSolution", "subsystem", "DescriptorSISO",
+    "noise", "NoiseSolution",
     "Sweep", "ProductSweep", "TandemSweep", "SerialSweep",
     "dcsweep", "transweep", "montecarlo_table", "dc_sensitivity",
     "parse_spice", "simulate", "circuit_from_file", "register_pdk",

@@ -130,3 +130,67 @@ def ac(cc: CompiledCircuit, freqs, params=None, *, op_x=None) -> ACSolution:
     x_re, x_im = cc.cache[key](jnp.asarray(op_x, DTYPE), params, dyn, omegas)
     return ACSolution(cc, freqs, x_re, x_im, op,
                       converged=(op.converged if op is not None else True))
+
+
+class DescriptorSISO:
+    """Single-output descriptor state-space (s E - A) x = B u, y = C x:
+    the control-systems interop surface (reference `subsystem`,
+    `src/ac.jl:374-388`, which returns a DescriptorSystems dss the user
+    feeds to bode/ss). Matrices are plain numpy — ready for
+    python-control / scipy.signal style tooling."""
+
+    def __init__(self, A, E, B, C, D, name):
+        self.A, self.E, self.B, self.C, self.D = A, E, B, C, D
+        self.name = name
+
+    def freqresp(self, freqs):
+        """Complex response y(jω) = C (jωE − A)⁻¹ B + D per frequency
+        [Hz] (the `freqresp` the reference gets from DescriptorSystems,
+        `ac.jl:190-220`)."""
+        freqs = np.atleast_1d(np.asarray(freqs, np.float64))
+        out = np.empty(len(freqs), np.complex128)
+        for k, f in enumerate(freqs):
+            s = 2j * np.pi * f
+            x = np.linalg.solve(s * self.E - self.A, self.B)
+            out[k] = (self.C @ x + self.D)[0, 0]
+        return out
+
+    def __repr__(self):
+        return (f"DescriptorSISO(output={self.name!r}, "
+                f"n={self.A.shape[0]})")
+
+
+def subsystem(cc: CompiledCircuit, name, params=None, *,
+              op_x=None) -> DescriptorSISO:
+    """SISO descriptor export: A = −G, E = C (charge Jacobian), B = the
+    deck's AC excitation vector, C selecting node/branch `name`, D = 0
+    (reference `subsystem`, `src/ac.jl:374-388`)."""
+    if params is None:
+        params = cc.params0()
+    from ..mna.assemble import ensure_setup, make_ac_rhs, make_assembler
+    params = ensure_setup(cc, params)
+    if op_x is None:
+        op_x = dc(cc, params).x
+    key = ("ac_subsystem_mats",)
+    if key not in cc.cache:
+        assemble = make_assembler(cc)
+        b_ac_fn = make_ac_rhs(cc)
+
+        def mats(x, p, dyn):
+            xp = pad_state(x)
+            _, _, G, Cm, _ = assemble(xp, assemble.init_lim(xp), p, dyn)
+            br, bi = b_ac_fn(p)
+            return G, Cm, br, bi
+
+        cc.cache[key] = cc.jit(mats)
+    dyn = cc.spec.dyn(mode=MODE_AC)
+    G, Cm, br, bi = cc.cache[key](jnp.asarray(op_x, DTYPE), params, dyn)
+    n = cc.n
+    i = cc.index_of(str(name))
+    C_row = np.zeros((1, n))
+    C_row[0, i] = 1.0
+    B = (np.asarray(br) + 1j * np.asarray(bi)).reshape(n, 1)
+    if np.allclose(B.imag, 0.0):
+        B = B.real
+    return DescriptorSISO(-np.asarray(G), np.asarray(Cm), B, C_row,
+                          np.zeros((1, 1)), str(name))

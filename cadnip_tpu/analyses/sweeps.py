@@ -167,6 +167,30 @@ def dcsweep(cc: CompiledCircuit, sweep, params=None, *, mode=MODE_DCOP,
         x0 = jnp.zeros(cc.n, DTYPE)
     dyn = cc.spec.dyn(mode=mode)
     r = cc.cache[key](x0, bparams, dyn)
+    conv = np.asarray(r.converged)
+    if conv.any() and not conv.all():
+        # per-lane continuation rescue (reference warm-start sweeps,
+        # `src/sweeps.jl:492-532`, in batch form): rerun the failed
+        # lanes seeded from their nearest CONVERGED neighbor's solution
+        # — one extra vmapped solve, every lane at once (failed lanes
+        # keep their own seed only if no lane converged at all)
+        lanes = np.arange(conv.shape[0])
+        good = lanes[conv]
+        nearest = good[np.argmin(np.abs(lanes[:, None] - good[None, :]),
+                                 axis=1)]
+        x_seed = jnp.asarray(np.asarray(r.x)[nearest], DTYPE)
+        key2 = ("dcsweep_rescue", tuple(sorted(table)))
+        if key2 not in cc.cache:
+            solver = make_dc_solver(cc)
+            cc.cache[key2] = cc.jit(
+                jax.vmap(solver, in_axes=(0, axes, None)))
+        r2 = cc.cache[key2](x_seed, bparams, dyn)
+        took = (~jnp.asarray(conv)) & r2.converged
+        r = r._replace(
+            x=jnp.where(took[:, None], r2.x, r.x),
+            converged=r.converged | r2.converged,
+            iters=r.iters + jnp.where(took, r2.iters, 0),
+            resnorm=jnp.where(took, r2.resnorm, r.resnorm))
     sol = DCSolution(cc, r.x, r.converged, r.iters, r.resnorm)
     sol.table = table
     return sol

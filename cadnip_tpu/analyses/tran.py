@@ -602,8 +602,16 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     # bounded device bursts on the axon TPU backend: one XLA execution
     # running longer than ~45 s faults the device, so the runner pauses
     # every pause_iters Newton iterations and the host re-enters with
-    # full state continuity (no accuracy or step-control impact)
+    # full state continuity (no accuracy or step-control impact).
+    # Scaled down with vmap batch width: a 1200-iter burst measured
+    # ~0.65 ms/iter at batch 1 but ~17 ms/iter at batch 1024, so the
+    # batch-1 sizing blew past the ~45 s fault ceiling at 4096 lanes
+    # (BENCH_r04: "TPU worker process crashed" on the 4096-way sweep)
     pause_iters = 0 if effective_platform() == "cpu" else 1200
+    if pause_iters and _vmap_axes is not None and x0.ndim == 2:
+        batch = int(x0.shape[0])
+        if batch > 256:
+            pause_iters = max(64, (pause_iters * 256) // batch)
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
            trace, save_window, int(delay_hist), pause_iters,
            None if _vmap_axes is None else str(_vmap_axes))

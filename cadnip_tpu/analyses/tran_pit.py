@@ -365,8 +365,15 @@ def _window_dx(R, D, Lm, active, n, Wl, lane_major, mixed_scan, mdv,
     if mdv > 0:
         vstep = jnp.max(jnp.where(is_v[None, :], jnp.abs(dx), 0.0),
                         axis=1, keepdims=True)
+        unclamped = vstep <= mdv          # [Wl, 1]
         dx = dx * jnp.minimum(1.0, mdv / jnp.maximum(vstep, 1e-300))
-    return dx
+    else:
+        unclamped = jnp.ones((dx.shape[0], 1), bool)
+    # `unclamped` feeds the dx acceptance test: convergence must never
+    # be declared on a LIMITED iteration (classical SPICE rule) — a
+    # heavily clamped step looks tiny under reltol while the iterate is
+    # still far from the root (ADVICE r4)
+    return dx, unclamped
 
 
 def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
@@ -516,13 +523,14 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
                 # completes monotonically instead of crawling against
                 # charge-amplified noise (C*dv/h exceeds the 1e-12 A
                 # branch-current abstol for any accepted uV dv upstream)
-                dx = _window_dx(R, D, Lm, active, n, Wl, lane_major,
-                                mixed_scan, mdv, is_v, DTYPE)
+                dx, uncl = _window_dx(R, D, Lm, active, n, Wl, lane_major,
+                                      mixed_scan, mdv, is_v, DTYPE)
                 Xn = X + dx
                 finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
                 Xn = jnp.where(finite, Xn, X)
                 ok_dx = (jnp.abs(dx) <= reltol * jnp.maximum(
-                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) & finite
+                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) \
+                    & finite & uncl
                 # accept-on-own-dx: when EVERY point's step this
                 # iteration already passes the dx test (the classic
                 # SPICE two-iterate criterion; frozen points have dx=0),
@@ -757,14 +765,15 @@ def make_flat_runner(cc: CompiledCircuit, W: int, nw: int, trips: int,
                 Lm = jnp.concatenate([
                     jnp.zeros((1, n, n), DTYPE),
                     G[:-1] - c0 * C[:-1]], 0)
-                dx = _window_dx(R, D, Lm, active, n, W, lane_major,
-                                mixed_scan, max_dv, is_v, DTYPE,
-                                perm=perm)
+                dx, uncl = _window_dx(R, D, Lm, active, n, W, lane_major,
+                                      mixed_scan, max_dv, is_v, DTYPE,
+                                      perm=perm)
                 Xn = X + dx
                 finite = jnp.all(jnp.isfinite(Xn), axis=1, keepdims=True)
                 Xn = jnp.where(finite, Xn, X)
                 ok_dx = (jnp.abs(dx) <= reltol * jnp.maximum(
-                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) & finite
+                    jnp.abs(Xn), jnp.abs(X)) + atol[None, :]) \
+                    & finite & uncl
                 c_upd = (w, Xn, limn, ok_dx, Q_last, qd_last,
                          jnp.int32(1))
                 if big:
@@ -817,7 +826,7 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
              max_iters: int = 40, x0=None, uic: bool = False, ic=None,
              params=None, windows_per_exec: int = 64, coarsen: int = 8,
              periodic: str = "auto", osc: bool = False,
-             osc_window: int = 64):
+             osc_window: int = 64, osc_period: float | None = None):
     """Fixed-step trapezoidal transient via window-parallel Newton.
 
     Saves every step: ts = t0 + dt*[0..n_steps]. Same initial-condition
@@ -841,7 +850,10 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
     periodic-seeding runner with the window snapped to ~m measured
     periods, the first seed tiled from the last solved period. Falls
     back to short ladder windows for the whole span when no stable
-    period appears."""
+    period appears. osc_period (seconds) pins the phase-B window
+    snapping to a caller-supplied (checked-in) period so the jit cache
+    key is identical across processes AND rounds; trusted only while
+    the in-run measurement agrees within 2%."""
     if not supported(cc):
         raise ValueError("circuit not supported by the PIT runner")
     spec = cc.spec
@@ -1142,8 +1154,19 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         # cond-skips (~1 ms at these window sizes)
         mi_osc = max(max_iters, 160)
 
+        # phase A runs on the HOST CPU backend when the process default
+        # is the TPU: its short ladder windows are latency-bound host-
+        # chained calls anyway, and moving them off-device deletes an
+        # entire PSP-class remote compile (~10 min serialized) from the
+        # cold path — the TPU then compiles exactly ONE program for the
+        # whole osc run (the phase-B flat runner). Same hybrid pattern
+        # as the CPU op solve above.
+        cpu_phase_a = jax.default_backend() != "cpu"
+        _cpu0 = jax.devices("cpu")[0] if cpu_phase_a else None
+
         def _get_ladder(Wx):
-            keyx = ("tran_pit", Wx, 1, mi_osc, coarsen, coarse_min)
+            keyx = ("tran_pit", Wx, 1, mi_osc, coarsen, coarse_min,
+                    "cpu" if cpu_phase_a else "")
             if keyx not in cc.cache:
                 cc.cache[keyx] = cc.jit(make_pit_runner(
                     cc, Wx, 1, mi_osc, coarsen, coarse_min))
@@ -1158,10 +1181,22 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             # every window after it.
             nonlocal done_pts, nn, carry, Wa
             while True:
-                runx = _get_ladder(Wa)
-                te = jnp.asarray(t0f + done_pts * dt, DTYPE)
-                xs_e, its, dones, carry2 = runx(
-                    *carry, te, jnp.asarray(dt, DTYPE), params, dyn0)
+                if cpu_phase_a:
+                    with jax.default_device(_cpu0):
+                        runx = _get_ladder(Wa)
+                        xs_e, its, dones, carry2 = runx(
+                            *jax.device_put(carry, _cpu0),
+                            jnp.asarray(t0f + done_pts * dt, DTYPE),
+                            jnp.asarray(dt, DTYPE), _params_cpu(), dyn0)
+                    # host copies: downstream consumers (detect_period,
+                    # the flat runner's jnp.asarray) re-place them
+                    xs_e = np.asarray(xs_e)
+                    carry2 = jax.tree_util.tree_map(np.asarray, carry2)
+                else:
+                    runx = _get_ladder(Wa)
+                    te = jnp.asarray(t0f + done_pts * dt, DTYPE)
+                    xs_e, its, dones, carry2 = runx(
+                        *carry, te, jnp.asarray(dt, DTYPE), params, dyn0)
                 nn += int(np.asarray(jnp.sum(its)))
                 ok = bool(np.asarray(jnp.all(dones)))
                 _dbg(f"oscA@{done_pts}+{Wa}", its, dones)
@@ -1175,7 +1210,11 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         while done_pts + Wa <= n_steps:
             all_done = _ladder_window() and all_done
             acc = np.concatenate([np.asarray(p) for p in xs_parts], 0)
-            P = detect_period(acc, dt)
+            # min_cross=4: each extra required crossing costs ~a period
+            # of 57-91-iteration constant-seed ladder windows; the
+            # relative spread gate still rejects unstable estimates
+            # (measured ring spread at 4 crossings: 4e-5)
+            P = detect_period(acc, dt, min_cross=4)
             if P is not None and done_pts >= int(round(P / dt)) + 2:
                 break
             P = None
@@ -1187,13 +1226,33 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             # when the shape recurs). Max phase slip from quantization:
             # m * 0.125 steps per window — a few % of a period.
             pstep_f = round(P / dt * 4.0) / 4.0
+            # caller-pinned period (checked-in constant, e.g.
+            # models/ring.py RING_PSTEP): the strongest jit-key
+            # stabilizer — identical Wb in every process AND round
+            # (the disk note below lives in the compile cache dir,
+            # which is wiped between rounds). Trusted only while the
+            # in-run measurement agrees within 2%.
+            pinned_ok = False
+            if osc_period is not None:
+                pinned = round(osc_period / dt * 4.0) / 4.0
+                if abs(pinned - pstep_f) <= 0.02 * pstep_f:
+                    pstep_f = pinned
+                    pinned_ok = True
+                else:
+                    import warnings
+                    warnings.warn(
+                        f"osc_period pin {pinned} steps disagrees with "
+                        f"the measured period {pstep_f} steps by >2%; "
+                        "using the measurement", stacklevel=2)
             # cross-run stabilization: a fraction-of-a-step difference
             # in the measured period flips the 1/4-step quantization and
             # every distinct Wb is a fresh ~10-minute remote compile for
             # PSP-class circuits. Pin pstep_f to the first measurement
             # (disk note next to the compile cache) while it stays
-            # within 2%.
-            _cdir = os.environ.get("CADNIP_COMPILE_CACHE", "")
+            # within 2% — skipped when the caller's checked-in pin
+            # applied (an older measurement must not override it).
+            _cdir = ("" if pinned_ok
+                     else os.environ.get("CADNIP_COMPILE_CACHE", ""))
             if _cdir and _cdir != "0" and os.path.isdir(_cdir):
                 import hashlib
                 _pf = os.path.join(_cdir, "pit_osc_pstep_" + hashlib.sha256(
@@ -1213,7 +1272,16 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             m = max(1, int(round(W / pstep_f)))
             Wb = int(round(m * pstep_f))
             rem = n_steps - done_pts
-            n_winB = rem // Wb if Wb >= 8 else 0
+            # OVERSHOOT the remainder with full-size windows (ceil, not
+            # floor): the final assembly truncates xs at n_steps+1 rows,
+            # so the span past tstop costs only wasted work — while the
+            # old floor division left up to Wb-1 trailing steps to the
+            # constant-seed ladder, whose windows are exactly the
+            # divergence-prone ones (measured on the CPU ring: a 16-step
+            # ladder window at step ~832 left the oscillation basin,
+            # got floor-accepted, and the run flat-lined into a
+            # parasitic DC equilibrium at v1=-7.16)
+            n_winB = (rem + Wb - 1) // Wb if Wb >= 8 else 0
             if n_winB >= 1:
                 pi = max(2, int(round(pstep_f)))
                 tail = acc[-pi:]

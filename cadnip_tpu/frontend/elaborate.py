@@ -349,13 +349,41 @@ class Elaborator:
                 return cand
         return path
 
-    @staticmethod
-    def _parse_any(text):
+    def _parse_any(self, text, path=""):
         """Dialect-sniffing file parse: included files may be in either
         dialect regardless of the top deck's (Spectre `include` of a
-        .scs library with `library/section` blocks, or a SPICE .lib)."""
-        from .spectre import looks_like_spectre, parse_spectre
-        if looks_like_spectre(text):
+        .scs library with `library/section` blocks, or a SPICE .lib).
+
+        The including deck's dialect is the tie-break: a SPICE parent
+        only switches to the Spectre parser on definitive markers —
+        `simulator lang=spectre`, a .scs extension, or at least TWO
+        Spectre-shaped statement lines. Single-line heuristics misfire:
+        HSPICE-style parenthesized node lists match the paren-instance
+        regex, and a SPICE library can open with a word like
+        `parameters` (ADVICE r4)."""
+        from .spectre import parse_spectre
+        head = text[:2000]
+        if re.search(r"simulator\s+lang\s*=\s*spectre", head):
+            return parse_spectre(text)
+        if str(path).lower().endswith(".scs"):
+            return parse_spectre(text)
+        if self.dialect == "spectre":
+            if re.search(r"simulator\s+lang\s*=\s*spice", head):
+                return parse_netlist(text, title_line=False)
+            return parse_spectre(text)
+        score = 0
+        for raw in head.splitlines():
+            s = re.sub(r"//.*", "", raw).strip()
+            if not s or s.startswith(("*", ".")):
+                continue
+            first = s.split()[0].lower()
+            if first in ("library", "section", "endsection", "endlibrary",
+                         "parameters", "global", "ahdl_include", "paramset",
+                         "statistics", "inline", "subckt", "ends"):
+                score += 1
+            elif re.match(r"^\w+\s*\([^)]*\)\s*\w+", s):
+                score += 1
+        if score >= 2:
             return parse_spectre(text)
         return parse_netlist(text, title_line=False)
 
@@ -363,7 +391,7 @@ class Elaborator:
         path = self._resolve_path(card.fields[0][1])
         with open(path) as fh:
             text = fh.read()
-        sub = self._parse_any(text)
+        sub = self._parse_any(text, path)
         olddirs = self.include_dirs
         self.include_dirs = [os.path.dirname(path)] + olddirs
         try:
@@ -378,7 +406,7 @@ class Elaborator:
             section = card.fields[1][1]
             with open(path) as fh:
                 text = fh.read()
-            sub = self._parse_any(text)
+            sub = self._parse_any(text, path)
             olddirs, oldsec = self.include_dirs, self.section
             self.include_dirs = [os.path.dirname(path)] + olddirs
             self.section = section
@@ -1228,6 +1256,9 @@ def elaborate_netlist(source, *, include_dirs=(), section=None,
                 root.va_modules[name.lower()] = model
     elements = el.collect(nl.cards, root)
     el.eval_params(root)
+    # top-scope parameter names (used by the Spectre sweep container to
+    # validate sweep targets before the append-a-parameters-card path)
+    el.param_names = frozenset(str(k).lower() for k in root.param_vals)
     el.cir = Circuit(title or nl.title or "netlist")
     el.build(elements, root, "", {})
     # resolve mutual inductances now that both L values are known
@@ -1546,11 +1577,23 @@ def _run_spectre_container(source, cc, el, an, *, include_dirs=(),
             # netlist parameter: re-elaborate per point. SPICE decks go
             # through the span-preserving textual alter; Spectre decks
             # append an overriding `parameters` card (later cards win in
-            # the scope chain — the SpectreNetlistParser alter shape)
+            # the scope chain — the SpectreNetlistParser alter shape).
+            # The append fallback is SPECTRE-ONLY and only for names the
+            # deck actually declares: on a SPICE deck or a misspelled
+            # name it would silently produce N identical runs (ADVICE
+            # r4) — raise a clear diagnostic instead.
+            is_spectre = getattr(el, "dialect", "spice") == "spectre"
+            known_netlist_param = target in getattr(el, "param_names",
+                                                    frozenset())
             for v in vals:
                 try:
                     src2 = alter_text(source, {target: float(v)})
-                except Exception:
+                except Exception as e:
+                    if not (is_spectre and known_netlist_param):
+                        raise ElabError(
+                            f"sweep: unknown parameter {target!r} (not "
+                            "an instance/model parameter, netlist "
+                            ".param, or spectre parameters name)") from e
                     src2 = (str(source)
                             + f"\nparameters {target}={float(v)}\n")
                 cir2, el2 = elaborate_netlist(
@@ -1569,7 +1612,11 @@ def _run_spectre_container(source, cc, el, an, *, include_dirs=(),
                           "(agauss/gauss/...) are randomized")
         runs = []
         for i in range(numruns):
-            rng = np.random.default_rng(seed + i)
+            # spawn-style seed sequence: default_rng(seed + i) collides
+            # across (seed, run) pairs — (1,1) draws identically to
+            # (2,0) — and diverges from montecarlo_elaborate's
+            # default_rng([seed, k]) scheme (ADVICE r4)
+            rng = np.random.default_rng([seed, i])
             cir2, el2 = elaborate_netlist(
                 source, include_dirs=include_dirs, section=section,
                 rng=rng)

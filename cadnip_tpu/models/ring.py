@@ -28,6 +28,15 @@ from ..mna.waveforms import Pulse
 RING_DIR = "/root/reference/benchmarks/vacask/ring/vacask"
 PSP_VA = "/root/reference/models/PSPModels.jl/va/psp103.va"
 
+#: Measured oscillation period of the benchmark ring at the default
+#: geometry, in steps of the benchmark's own 0.05 ns grid (CPU f64
+#: steady-state: 3.4550 ns = 69.10 steps over the last 6 periods,
+#: std 4e-4 ns). Checked in so the PIT runner's phase-B window length
+#: — its jit cache key — is identical in every process and round
+#: (pass `osc_period=RING_PSTEP * 0.05e-9` to tran_pit); the runner
+#: re-verifies the pin against its own in-run measurement (2% gate).
+RING_PSTEP = 69.0
+
 
 def available() -> bool:
     return os.path.exists(RING_DIR) and os.path.exists(PSP_VA)

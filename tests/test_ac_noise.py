@@ -120,3 +120,29 @@ def test_flicker_noise_slope():
     d = sol.contributions["d1"]
     # at low f the 1/f term dominates: each decade drops ~10x
     assert d[0] / d[1] == pytest.approx(10.0, rel=0.05)
+
+
+def test_subsystem_siso_export():
+    """`subsystem` SISO descriptor export (reference `src/ac.jl:374-388`):
+    the exported (A, E, B, C, D) must reproduce the AC transfer exactly
+    — RC lowpass vs the closed form and vs ac() itself."""
+    from cadnip_tpu.analyses.ac import subsystem
+    r, c = 1e3, 1e-6
+    cir = Circuit("rc_sub")
+    cir.V("vs", "in", "0", dc=0.0, acmag=1.0)
+    cir.R("r1", "in", "out", r)
+    cir.C("c1", "out", "0", c)
+    cc = cir.compile()
+    sys_out = subsystem(cc, "out")
+    assert sys_out.A.shape == (cc.n, cc.n)
+    freqs = acdec(5, 1.0, 1e4)
+    h = sys_out.freqresp(freqs)
+    w = 2 * np.pi * freqs
+    assert np.allclose(h, 1.0 / (1.0 + 1j * w * r * c),
+                       rtol=1e-6, atol=1e-9)
+    assert np.allclose(h, ac(cc, freqs)["out"], rtol=1e-6, atol=1e-9)
+    # branch-current output: I(vs) = -jwC/(1+jwRC) into the source
+    sys_i = subsystem(cc, "vs#i")
+    hi = sys_i.freqresp(freqs)
+    assert np.allclose(hi, -1j * w * c / (1.0 + 1j * w * r * c),
+                       rtol=1e-6, atol=1e-12)

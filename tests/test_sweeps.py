@@ -135,3 +135,47 @@ def test_transweep_chunked_matches_full():
     assert np.allclose(np.asarray(full.xs), np.asarray(chk.xs))
     assert np.asarray(chk.xs).shape[0] == 7
     assert np.all(np.asarray(chk.converged))
+
+
+def test_dcsweep_neighbor_rescue():
+    """Per-lane continuation rescue (reference warm-start sweeps,
+    `src/sweeps.jl:492-532`): lanes whose cold solve fails are rerun
+    seeded from the nearest CONVERGED neighbor. A 5-diode chain at up
+    to 100 V with a deliberately crippled fallback chain fails cold on
+    most lanes but converges from a neighbor's solution."""
+    import jax
+    import jax.numpy as jnp
+    import cadnip_tpu as ct
+    from cadnip_tpu.analyses.sweeps import batch_params
+    from cadnip_tpu.mna.newton import make_dc_solver
+    from cadnip_tpu.mna.spec import MODE_DCOP
+
+    deck = """diode chain
+.model dd d is=1e-15 n=1
+vs in 0 dc 0
+r1 in a 10
+d1 a b dd
+d2 b c dd
+d3 c d dd
+d4 d e dd
+d5 e 0 dd
+.end
+"""
+    spec = ct.SimSpec(max_newton_iters=5, gmin_steps=2, src_steps=2)
+    cc = ct.parse_spice(deck, spec=spec)
+    vals = np.linspace(0.0, 100.0, 21)
+
+    # the raw cold vmapped solve (pre-rescue behavior) must fail on the
+    # hard lanes — otherwise this test exercises nothing
+    bparams, axes = batch_params(cc, {"vs.dc": vals})
+    solver = cc.jit(jax.vmap(make_dc_solver(cc), in_axes=(None, axes, None)))
+    cold = solver(jnp.zeros(cc.n), bparams, cc.spec.dyn(mode=MODE_DCOP))
+    cold_conv = np.asarray(cold.converged)
+    assert cold_conv.any() and not cold_conv.all()
+
+    sw = dcsweep(cc, {"vs.dc": vals})
+    assert np.asarray(sw.converged).all()
+    # physics: v_j = n*vt*ln(I/Is) ~ 0.944 V per junction at ~9.5 A
+    va = np.asarray(sw["a"])
+    assert va[-1] == pytest.approx(5 * 0.9517, rel=0.02)
+    assert np.all(np.diff(va[1:]) > 0)      # monotone in drive

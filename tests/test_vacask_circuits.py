@@ -82,3 +82,61 @@ def test_mul_voltage_multiplier():
     # after 10 cycles it is well above +100V and still rising
     assert v20[-1] > 100.0
     assert v20[-1] > v20[len(v20) // 2]
+
+
+DARLINGTON = """Darlington pair switch driven by a pulse train
+.model qmod npn bf=100 is=1e-15 cje=10p cjc=5p tf=0.3n
+vcc vcc 0 dc 5
+vs vin 0 dc 0 pulse 0 3 0 10n 10n 0.99u 2u
+rb vin b1 10k
+q1 coll b1 b2 qmod
+q2 coll b2 0 qmod
+rbleed b2 0 10k
+rl vcc coll 1k
+cl coll 0 100p
+.end
+"""
+
+
+def test_darlington_switches():
+    """Reference `benchmarks/vacask/darlington`: two cascaded NPNs
+    switched by a 500 kHz pulse train (tran 2n 1m full span in the
+    benchmark; 3 periods here). ON: both BJTs driven into saturation,
+    collector near ground; OFF: collector pulled to VCC through rl."""
+    from cadnip_tpu import tran
+    cc = parse_spice(DARLINGTON)
+    sol = tran(cc, (0, 6e-6), dt=2e-9, max_steps=40000)
+    ts = np.asarray(sol.ts)
+    vc = np.asarray(sol["coll"])
+    # ON mid-pulse (t=0.5u): composite saturation floor — a Darlington
+    # cannot saturate below vbe2 + vce1,sat ~ 0.77 V; OFF mid-gap: high
+    assert 0.5 < vc[np.argmin(np.abs(ts - 0.5e-6))] < 1.0
+    assert vc[np.argmin(np.abs(ts - 1.5e-6))] > 4.5
+    # darlington base stack: b1 ~ 2*vbe when driven
+    vb1 = np.asarray(sol["b1"])
+    assert 1.2 < vb1[np.argmin(np.abs(ts - 0.5e-6))] < 1.9
+
+
+def test_darlington_pit_matches_serial():
+    """The darlington through the periodic-seeded PIT runner (the bench
+    path: pulse period 2 us = 1000 steps) against the serial adaptive
+    runner on the same grid."""
+    from cadnip_tpu import tran
+    from cadnip_tpu.analyses.tran_pit import tran_pit
+    cc = parse_spice(DARLINGTON)
+    span = (0, 8e-6)
+    ser = tran(cc, span, dt=2e-9, max_steps=80000,
+               save_ts=np.arange(0, 8e-6 + 1e-12, 2e-9))
+    pit = tran_pit(cc, span, 2e-9, window=2000, windows_per_exec=4,
+                   max_iters=96)
+    assert not bool(np.asarray(pit.stats.fail))
+    vs_, vp = np.asarray(ser["coll"]), np.asarray(pit["coll"])
+    # pointwise agreement except at the 10 ns switching edges (the
+    # serial runner's LTE-adaptive steps interpolate the edge slightly
+    # differently); compare away from edges
+    t = np.asarray(pit.ts)
+    tm = t % 2e-6
+    mask = ((tm > 0.05e-6) & (tm < 0.95e-6)) | \
+           ((tm > 1.05e-6) & (tm < 1.95e-6))
+    err = np.abs(vs_[mask] - vp[mask])
+    assert np.quantile(err, 0.99) < 0.15 and err.max() < 0.6
