@@ -367,7 +367,11 @@ def bench_dff_sweep(batch=1024):
     here — CPU_DFF_S is the honest stand-in). Widths above 1024 run
     through transweep's chunk= path (sequential 1024-wide launches of
     ONE compiled program) — the unchunked 4096-wide launch crashed the
-    TPU worker in BENCH_r04 (single-execution time ceiling)."""
+    TPU worker in BENCH_r04 (single-execution time ceiling; pause_iters
+    now also scales down with batch width). The warmup is ONE 1024-wide
+    chunk — it pays the full compile bill (op solver, runner, resume),
+    after which every later chunk of any batch size reuses the same
+    compiled programs."""
     import cadnip_tpu as ct
     from cadnip_tpu.models.dff import dff_netlist
     phase(f"dff_sweep{batch}: imports done")
@@ -375,17 +379,24 @@ def bench_dff_sweep(batch=1024):
     cc = ct.parse_spice(dff_netlist())
     tab = ct.montecarlo_table(cc, {"cq.c": 0.1, "mno1.w": 0.1,
                                    "mpo1.w": 0.1}, batch, seed=42)
-    chunk = 1024 if batch > 1024 else None
+    kw = dict(dt=3.333e-10, max_steps=20000, n_save=61, chunk=1024)
+    tab1 = {k: v[:1024] for k, v in tab.items()}
     t0 = time.perf_counter()
-    sol = ct.transweep(cc, tab, (0, 6e-7), dt=3.333e-10, max_steps=20000,
-                       n_save=61, chunk=chunk)
+    sol = ct.transweep(cc, tab1, (0, 6e-7), **kw)
     sol.xs.block_until_ready()
-    phase(f"dff_sweep{batch}: warmup done ({time.perf_counter() - t0:.2f}s "
-          "incl. compile)")
+    phase(f"dff_sweep: 1024-chunk warmup done "
+          f"({time.perf_counter() - t0:.2f}s incl. full compile bill)")
+    t0 = time.perf_counter()
+    sol = ct.transweep(cc, tab1, (0, 6e-7), **kw)
+    sol.xs.block_until_ready()
+    w1 = time.perf_counter() - t0
+    log(f"dff 1024-way sweep: {w1:.2f}s total, {w1 / 1024 * 1e3:.3f} "
+        f"ms/circuit, x{CPU_DFF_S * 1024 / w1:.1f} vs our serial CPU")
+    if batch <= 1024:
+        return w1
     conv = float(np.mean(np.asarray(sol.op_converged)))
     t0 = time.perf_counter()
-    sol = ct.transweep(cc, tab, (0, 6e-7), dt=3.333e-10, max_steps=20000,
-                       n_save=61, chunk=chunk)
+    sol = ct.transweep(cc, tab, (0, 6e-7), **kw)
     sol.xs.block_until_ready()
     wall = time.perf_counter() - t0
     ms = wall / batch * 1e3
@@ -530,13 +541,12 @@ BENCHES = {
 # and starves every LATER bench's compiles) but BEFORE c6288 (the
 # lowest-value row, the only one a stuck ring can then hurt).
 SCHEDULE = (
-    ("dff", 300, 60),
-    ("dff_sweep4096", 500, 150),
+    ("dff", 360, 150),
+    ("dff_sweep4096", 800, 300),
     ("graetz", 450, 150),
     ("mul", 400, 120),
     ("ring", 900, 240),
     ("c6288", 1100, 300),
-    ("dff_sweep", 240, 100),
     ("darlington", 240, 100),
 )
 

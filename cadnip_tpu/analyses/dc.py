@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DTYPE
+from ..config import DTYPE, effective_platform
 from ..mna.newton import make_dc_solver
 from ..mna.spec import MODE_DCOP, MODE_TRANOP
 from ..mna.structure import CompiledCircuit
@@ -102,7 +102,7 @@ class DCSolution:
 
 
 def _get_dc_solver(cc: CompiledCircuit):
-    key = "dc_solver"
+    key = ("dc_solver", effective_platform())
     if key not in cc.cache:
         cc.cache[key] = cc.jit(make_dc_solver(cc))
     return cc.cache[key]
@@ -149,7 +149,7 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
         # Runs AFTER pseudo-transient: ptran's charge damping selects
         # the physically-reachable basin on bistable circuits, while LM
         # handles near-singular Jacobians charge-free circuits hit.
-        key = "dc_lm_rescue"
+        key = ("dc_lm_rescue", effective_platform())
         if key not in cc.cache:
             from ..mna.newton import make_lm_rescue
             cc.cache[key] = cc.jit(make_lm_rescue(cc))
@@ -166,7 +166,7 @@ def dc(cc: CompiledCircuit, params=None, x0=None, *, mode: int = MODE_DCOP,
 def _fused_rescue(cc, x0, params, dyn):
     """The one-jit pseudo-transient rescue scan (small circuits; vmapped
     sweeps use it too since the host loop cannot branch per lane)."""
-    key = "dc_ptran_rescue"
+    key = ("dc_ptran_rescue", effective_platform())
     if key not in cc.cache:
         from ..mna.newton import make_ptran_rescue
         cc.cache[key] = cc.jit(make_ptran_rescue(cc))
@@ -185,7 +185,7 @@ def _ptran_rescue_host(cc, x0, params, dyn, n_steps=15, h0=1e-12,
     from ..mna.assemble import make_assembler, make_rhs_assembler, \
         pad_state
     from ..mna.newton import make_tran_newton
-    key = "rescue_parts"
+    key = ("rescue_parts", effective_platform())
     if key not in cc.cache:
         assemble = make_assembler(cc) if cc.bbd is None else None
         newton_t = make_tran_newton(cc, assemble=assemble)

@@ -211,6 +211,8 @@ def transweep(cc: CompiledCircuit, sweep, tspan, params=None, *,
         k: np.asarray(v) for k, v in sweep.items()}
     n_pts = len(next(iter(table.values())))
     if chunk is not None and n_pts > chunk:
+        import sys as _sys
+        import time as _time
         sols = []
         for s0 in range(0, n_pts, chunk):
             sub = {k: v[s0:s0 + chunk] for k, v in table.items()}
@@ -219,7 +221,12 @@ def transweep(cc: CompiledCircuit, sweep, tspan, params=None, *,
                 sub = {k: np.concatenate([v, np.repeat(v[-1:], pad,
                                                        axis=0)])
                        for k, v in sub.items()}
+            _tc = _time.perf_counter()
             sols.append(transweep(cc, sub, tspan, params, **tran_kw))
+            sols[-1].xs.block_until_ready()
+            print(f"[transweep] chunk {s0}..{s0 + chunk}: "
+                  f"{_time.perf_counter() - _tc:.1f}s",
+                  file=_sys.stderr, flush=True)
         first = sols[0]
         # keep jax arrays so downstream code (block_until_ready etc.)
         # behaves the same as on the unchunked path

@@ -522,20 +522,56 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     op_conv = True
     if x0 is None and uic:
         x0 = jnp.zeros(cc.n, DTYPE)
+    # hybrid flow (same pattern as tran_pit): for small dense circuits
+    # on the TPU backend, solve the t0 operating point on the host CPU —
+    # the XLA:CPU compile is seconds and the solve milliseconds, vs a
+    # 40-250 s serialized remote compile of the DC homotopy chain (the
+    # 1024-wide dff sweep's op compile dominated its cold bill). The
+    # jit wrappers are cached per platform: trace-time choices
+    # (resolve_method, Pallas lowerings) are platform-dependent, so a
+    # CPU-traced program must never serve a TPU call.
+    hybrid_op = (x0 is None and effective_platform() != "cpu"
+                 and cc.bbd is None and cc.n <= 150
+                 and not any(g.model.va_setup is not None
+                             for g in cc.groups))
     if x0 is None:
+        dyn_op0 = cc.spec.dyn(mode=MODE_TRANOP, time=t0)
         if _vmap_axes is not None:
             from ..mna.newton import make_dc_solver
-            okey = ("dcsweep_for_tran", str(_vmap_axes))
-            if okey not in cc.cache:
-                cc.cache[okey] = cc.jit(jax.vmap(
-                    make_dc_solver(cc), in_axes=(None, _vmap_axes, None)))
-            r0 = cc.cache[okey](jnp.zeros(cc.n, DTYPE), params,
-                                cc.spec.dyn(mode=MODE_TRANOP, time=t0))
-            x0, op_conv = r0.x, r0.converged
+            okey = ("dcsweep_for_tran", str(_vmap_axes),
+                    "cpu" if hybrid_op else "")
+            if hybrid_op:
+                cpu0 = jax.devices("cpu")[0]
+                with jax.default_device(cpu0):
+                    if okey not in cc.cache:
+                        cc.cache[okey] = cc.jit(jax.vmap(
+                            make_dc_solver(cc),
+                            in_axes=(None, _vmap_axes, None)))
+                    r0 = cc.cache[okey](
+                        jnp.zeros(cc.n, DTYPE),
+                        jax.device_put(params, cpu0), dyn_op0)
+                x0 = jnp.asarray(np.asarray(r0.x), DTYPE)
+                op_conv = jnp.asarray(np.asarray(r0.converged))
+            else:
+                if okey not in cc.cache:
+                    cc.cache[okey] = cc.jit(jax.vmap(
+                        make_dc_solver(cc),
+                        in_axes=(None, _vmap_axes, None)))
+                r0 = cc.cache[okey](jnp.zeros(cc.n, DTYPE), params,
+                                    dyn_op0)
+                x0, op_conv = r0.x, r0.converged
         else:
-            op = dc(cc, params, mode=MODE_TRANOP, time=t0)
-            x0 = op.x
-            op_conv = op.converged
+            if hybrid_op:
+                cpu0 = jax.devices("cpu")[0]
+                with jax.default_device(cpu0):
+                    op = dc(cc, jax.device_put(params, cpu0),
+                            mode=MODE_TRANOP, time=t0)
+                x0 = jnp.asarray(np.asarray(op.x), DTYPE)
+                op_conv = bool(np.asarray(op.converged))
+            else:
+                op = dc(cc, params, mode=MODE_TRANOP, time=t0)
+                x0 = op.x
+                op_conv = op.converged
     x0 = jnp.asarray(x0, DTYPE)
     if ic:
         for node, v in ic.items():
@@ -607,11 +643,21 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
     # ~0.65 ms/iter at batch 1 but ~17 ms/iter at batch 1024, so the
     # batch-1 sizing blew past the ~45 s fault ceiling at 4096 lanes
     # (BENCH_r04: "TPU worker process crashed" on the 4096-way sweep)
-    pause_iters = 0 if effective_platform() == "cpu" else 1200
+    if effective_platform() == "cpu":
+        pause_iters = 0
+    else:
+        # small dense circuits run ~0.65 ms/iter (measured, dff n=19):
+        # 4000 iters ≈ 2.6 s per burst, far under the ceiling — and the
+        # gf180 dff (2067 iters) then never pauses, which also skips the
+        # LAZY resume compile (~80 s of its cold bill, BENCH r5 phase
+        # log). Big-VA / BBD / large circuits keep the conservative 1200.
+        big_va = any(g.model.va_setup is not None for g in cc.groups)
+        pause_iters = (1200 if (big_va or cc.bbd is not None or cc.n > 64)
+                       else 4000)
     if pause_iters and _vmap_axes is not None and x0.ndim == 2:
         batch = int(x0.shape[0])
         if batch > 256:
-            pause_iters = max(64, (pause_iters * 256) // batch)
+            pause_iters = max(64, (1200 * 256) // batch)
     key = ("tran_runner", n_save, int(max_steps), len(bp), method, integ,
            trace, save_window, int(delay_hist), pause_iters,
            None if _vmap_axes is None else str(_vmap_axes))

@@ -1,7 +1,7 @@
 """Parallel-in-time transient: window Newton over batched timepoints.
 
 The serial integrators (XLA while_loop runner in `tran.py`, the Mosaic
-VMEM kernel in `ops/pallas_tran.py`) pay per-Newton-iteration dispatch
+VMEM kernel, now archive/pallas_tran.py) pay per-Newton-iteration dispatch
 latency that no amount of kernel fusion removes: a ~20-unknown circuit
 costs ~300-500 us per iteration on TPU, so the VACASK-class serial
 benchmarks (~1M timepoints of a tiny nonlinear circuit,
