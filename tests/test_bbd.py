@@ -125,6 +125,7 @@ def test_c6288_scale_partition_and_solve():
     assert float(jnp.max(jnp.abs(r))) < 1e-10 * float(jnp.max(jnp.abs(F)))
 
 
+@pytest.mark.integration
 def test_c6288_uic_transient_reduced_span():
     from c6288_util import build_deck, have_sources
     if not have_sources():

@@ -77,6 +77,7 @@ def cmg():
     return specialize
 
 
+@pytest.mark.integration
 def test_bsimcmg_nmos_dc(cmg):
     # ASAP7 LVT NMOS, VDD=1.0, RD=10k: drain current must be in the
     # tens-of-uA class at full gate drive and respond strongly to VG
@@ -122,3 +123,13 @@ def test_bsimcmg_inverter_transfer(cmg):
     assert vouts[0] > 0.95                 # logic high at Vin=0
     assert vouts[-1] < 0.05                # logic low at Vin=VDD
     assert np.all(np.diff(vouts) < 1e-9)   # monotone inverting
+
+
+def test_bsimcmg_host_compiles():
+    """Core-suite smoke: the multi-file BSIM-CMG source host-compiles
+    with the expected interface (cheap — no XLA solve; the DC/transfer
+    physics run in the integration group)."""
+    from cadnip_tpu.va.codegen import load_va_file
+    m = load_va_file(CMG_VA)["bsimcmg"]
+    assert m.terminals[:4] == ("d", "g", "s", "e") or len(m.terminals) >= 4
+    assert "TFIN" in m.defaults and "DEVTYPE" in m.defaults

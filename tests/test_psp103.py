@@ -29,6 +29,7 @@ def psp_model():
     return load_va_file(PSP_VA)["PSP103VA"]
 
 
+@pytest.mark.integration
 def test_psp103_common_source_dc(psp_model):
     # NMOS common-source stage at default (1 um-class) PSP parameters:
     # VDD=1.2, VG=0.8, RD=10k. Checks convergence, a sane operating

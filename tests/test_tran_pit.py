@@ -70,6 +70,7 @@ def test_graetz_vs_serial():
     assert 10.0 < v[late].min() < v[late].max() < 20.0
 
 
+@pytest.mark.integration
 def test_periodic_seeding_matches_ladder():
     """PERIODIC WINDOW SEEDING (windows snapped to the source period,
     each window Newton-seeded by the envelope extrapolation of the two

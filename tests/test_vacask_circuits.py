@@ -117,6 +117,7 @@ def test_darlington_switches():
     assert 1.2 < vb1[np.argmin(np.abs(ts - 0.5e-6))] < 1.9
 
 
+@pytest.mark.integration
 def test_darlington_pit_matches_serial():
     """The darlington through the periodic-seeded PIT runner (the bench
     path: pulse period 2 us = 1000 steps) against the serial adaptive

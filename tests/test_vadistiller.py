@@ -64,6 +64,7 @@ def test_mos1_square_law_saturation():
     assert op["i_d"] == pytest.approx(250e-6, rel=1e-3)
 
 
+@pytest.mark.integration
 def test_diode_matches_builtin():
     dio = _load("diode")
     cir = ct.Circuit("vadist_diode")
@@ -81,6 +82,7 @@ def test_diode_matches_builtin():
     assert float(sol["out"]) == pytest.approx(float(sol2["out"]), rel=1e-4)
 
 
+@pytest.mark.integration
 def test_bjt_common_emitter():
     # ib = (5 - vbe)/430k ~ 9.8uA; ic = bf*ib ~ 0.98mA; vc = 10 - 2k*ic
     bjt = _load("bjt")
@@ -101,6 +103,7 @@ def test_bjt_common_emitter():
     assert ic == pytest.approx(100.0 * ib, rel=0.05)
 
 
+@pytest.mark.integration
 def test_jfet1_idss_point():
     # vgs = 0: id = beta*vt0^2 = 4 mA -> vd = 10 - 4 = 6
     j1 = _load("jfet1")

@@ -80,6 +80,7 @@ def test_butterworth_adaptive_vs_closed_form():
     assert errs[1] < 0.25 * errs[0]
 
 
+@pytest.mark.integration
 def test_butterworth_pit_vs_closed_form():
     """Fixed-step PIT runner against the closed form (dt = 3 ms,
     trapezoidal: O(dt^2) global error ~ 1e-6-level)."""
