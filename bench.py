@@ -279,6 +279,7 @@ def bench_ring():
     the phase-B window length — the jit cache key — is identical in
     every process and round. Baselines (AMD TR 7970, 1 thread):
     VACASK 1.18 s, Ngspice 1.60 s, Xyce 3.33 s."""
+    os.environ.setdefault("CADNIP_PIT_DEBUG", "1")  # per-exec stderr trace
     import cadnip_tpu as ct  # noqa: F401 (compile side effects)
     from cadnip_tpu.models import ring
     from cadnip_tpu.analyses.tran_pit import tran_pit, detect_period

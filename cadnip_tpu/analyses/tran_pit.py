@@ -294,7 +294,14 @@ def detect_period(xs, dt, min_cross=6, max_spread=0.02):
     swing = xs.max(0) - xs.min(0)
     j = int(np.argmax(swing))
     v = xs[:, j]
-    if swing[j] <= 0:
+    # amplitude floor: before the oscillation starts (or on a dead
+    # circuit) every unknown is constant + solver noise, whose regular
+    # step-to-step dither crosses the mid-level with machine-consistent
+    # spacing — a run on the TPU backend "detected" a 2-step period
+    # from 1e-9-level noise on the pre-kick flat waveform and snapped
+    # the seeded window to garbage. A real oscillation swings a
+    # meaningful fraction of the signal level.
+    if swing[j] <= 1e-3 * max(1.0, float(np.abs(v).max())):
         return None
     s = v - 0.5 * (v.max() + v.min())
     idx = np.where((s[:-1] < 0) & (s[1:] >= 0))[0]
