@@ -26,6 +26,23 @@ from .spec import DynSpec
 from .structure import CompiledCircuit
 
 
+def host_fetch(tree):
+    """Device->host copy of a param pytree with ASYNC prefetch: on the
+    axon TPU backend every blocking np.asarray is a tunnel roundtrip
+    (~0.2-0.5 s), and a PSP-class circuit's per-name param tree has
+    >3,000 leaves — serial fetches cost tens of minutes. Issuing
+    copy_to_host_async on every leaf first pipelines the transfers."""
+    import jax as _jax
+    leaves = _jax.tree_util.tree_leaves(tree)
+    for v in leaves:
+        if hasattr(v, "copy_to_host_async"):
+            try:
+                v.copy_to_host_async()
+            except Exception:
+                pass
+    return _jax.tree_util.tree_map(lambda v: np.asarray(v), tree)
+
+
 def ensure_setup(cc, params, dyn=None):
     """Inject the host-setup value matrix p['__setup__'] for every group
     whose model hoists its setup pass (big VA models — see
@@ -48,8 +65,8 @@ def ensure_setup(cc, params, dyn=None):
             continue
         p = dict(out[gi])
         try:
-            arrs = {k: np.asarray(v) for k, v in p.items()
-                    if k != "__setup__"}
+            arrs = host_fetch({k: v for k, v in p.items()
+                               if k != "__setup__"})
         except Exception:
             continue      # traced params: leave the in-graph path
         fp = (gi, temp, tuple(sorted(
