@@ -1021,12 +1021,20 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 (f1, q1), lim1 = cc.cache[keyr](
-                    jax.device_put(jnp.asarray(x_cur), cpu),
-                    _params_cpu(), dynb._replace(time=t_cur))
-            f1, q1 = (jnp.asarray(np.asarray(f1), DTYPE),
-                      jnp.asarray(np.asarray(q1), DTYPE))
-            lim1 = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(np.asarray(a)), lim1)
+                    jax.device_put(np.asarray(x_cur), cpu),
+                    _params_cpu(), jax.device_put(
+                        dynb._replace(time=float(t_cur)), cpu))
+            # keep the carry as HOST NUMPY: uploading f64 to the axon
+            # device is LOSSY (~1e-8 relative — measured: a plain
+            # upload+download round trip is not bit-exact), and (Q,
+            # qdot) anchor the next window's trap recursion as CONSTANT
+            # terms — a corrupted anchor is an inconsistency Newton can
+            # never repair (the ring's kick windows burned their whole
+            # budget on it). Numpy leaves upload per call, and jits on
+            # either backend accept them.
+            f1, q1 = np.asarray(f1), np.asarray(q1)
+            lim1 = jax.tree_util.tree_map(np.asarray, lim1)
+            return (np.asarray(x_cur, np.float64), q1, -f1, lim1)
         else:
             (f1, q1), lim1 = cc.cache[keyr](
                 x_cur, params, dynb._replace(time=t_cur))
@@ -1230,12 +1238,19 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
             # converges at W*dt=1.9 periods, diverges at 3.8) — when a
             # window fails, DISCARD it and retry the same span with
             # the window halved, because a diverged window poisons
-            # every window after it.
+            # every window after it. The retry floor is ONE step (a
+            # serial implicit step with limiting — the most robust
+            # solve we have): floor-accepting a diverged 16-step
+            # window sent the whole run into a parasitic DC fixed
+            # point whose trap ringing then fooled period detection.
+            # The width is LOCAL — after a hard window (kick edges)
+            # the next window starts back at osc_window.
             nonlocal done_pts, nn, carry, Wa
+            Wl = Wa
             while True:
                 if cpu_phase_a:
                     with jax.default_device(_cpu0):
-                        runx = _get_ladder(Wa)
+                        runx = _get_ladder(Wl)
                         xs_e, its, dones, carry2 = runx(
                             *jax.device_put(carry, _cpu0),
                             jnp.asarray(t0f + done_pts * dt, DTYPE),
@@ -1245,19 +1260,22 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                     xs_e = np.asarray(xs_e)
                     carry2 = jax.tree_util.tree_map(np.asarray, carry2)
                 else:
-                    runx = _get_ladder(Wa)
+                    runx = _get_ladder(Wl)
                     te = jnp.asarray(t0f + done_pts * dt, DTYPE)
                     xs_e, its, dones, carry2 = runx(
                         *carry, te, jnp.asarray(dt, DTYPE), params, dyn0)
                 nn += int(np.asarray(jnp.sum(its)))
                 ok = bool(np.asarray(jnp.all(dones)))
-                _dbg(f"oscA@{done_pts}+{Wa}", its, dones)
-                if ok or Wa <= 16:
+                if os.environ.get("CADNIP_PIT_DEBUG") and done_pts == 0:
+                    print(f"  oscA executes on: {getattr(its, 'device', '?')}",
+                          file=__import__('sys').stderr, flush=True)
+                _dbg(f"oscA@{done_pts}+{Wl}", its, dones)
+                if ok or Wl <= 1:
                     carry = carry2
                     xs_parts.append(xs_e)
-                    done_pts += Wa
+                    done_pts += Wl
                     return ok
-                Wa //= 2
+                Wl //= 2
 
         while done_pts + Wa <= n_steps:
             all_done = _ladder_window() and all_done
