@@ -1200,90 +1200,72 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
         # chained executions; phase B reuses the PERIODIC-SEEDING
         # runner with the window snapped to ~m measured periods and
         # the first seed tiled from the last solved period.
-        Wa = int(min(osc_window, n_steps))
         done_pts = 0
         P = None
-
-        # phase-A budget: the PSP103 ring's constant-seed windows need
-        # 57-91 iterations at W=16 on CPU f64 (measured r4 — W>=64
-        # windows exhaust any budget: the constant seed leaves the
-        # basin, and each discard-halve retry on the TPU is a fresh
-        # ~10-minute remote compile, so callers should pass osc_window
-        # at the CONVERGING size directly); 160 leaves margin for the
-        # TPU backend's emulated-f64 noise, and unused trips are
-        # cond-skips (~1 ms at these window sizes)
         mi_osc = max(max_iters, 160)
 
         # phase A runs on the HOST CPU backend when the process default
-        # is the TPU: its short ladder windows are latency-bound host-
-        # chained calls anyway, and moving them off-device deletes an
-        # entire PSP-class remote compile (~10 min serialized) from the
-        # cold path — the TPU then compiles exactly ONE program for the
-        # whole osc run (the phase-B flat runner). Same hybrid pattern
-        # as the CPU op solve above.
+        # is the TPU: it is latency-bound host-side work, and moving it
+        # off-device deletes an entire PSP-class remote compile (~10
+        # min serialized) from the cold path — the TPU then compiles
+        # exactly ONE program for the whole osc run (the phase-B flat
+        # runner). Same hybrid pattern as the CPU op solve above.
         cpu_phase_a = jax.default_backend() != "cpu"
         _cpu0 = jax.devices("cpu")[0] if cpu_phase_a else None
 
-        def _get_ladder(Wx):
-            keyx = ("tran_pit", Wx, 1, mi_osc, coarsen, coarse_min,
+        # Phase A = SERIAL single-step implicit solves, CH per exec:
+        # W=1 "windows" chained inside one compiled program. This
+        # replaced the 16-step constant-seed ladder windows (r4/r5):
+        # a 1-step solve seeded by the previous point is the most
+        # robust solver we have — the kick-edge windows of the PSP103
+        # ring sat on a Newton-basin knife edge where process-dependent
+        # ulp rounding decided 79-iters-vs-divergence, and each window
+        # cost 20-160 coupled iterations; serial steps take ~2-5 each
+        # and never leave the basin. One exec per CH steps keeps the
+        # host-chaining overhead negligible.
+        CH = int(min(128, n_steps))
+
+        def _serial_chunk():
+            nonlocal done_pts, nn, carry, all_done
+            keyx = ("tran_pit", 1, CH, mi_osc, coarsen, coarse_min,
                     "cpu" if cpu_phase_a else "")
-            if keyx not in cc.cache:
-                cc.cache[keyx] = cc.jit(make_pit_runner(
-                    cc, Wx, 1, mi_osc, coarsen, coarse_min))
-            return cc.cache[keyx]
+            if cpu_phase_a:
+                with jax.default_device(_cpu0):
+                    if keyx not in cc.cache:
+                        cc.cache[keyx] = cc.jit(make_pit_runner(
+                            cc, 1, CH, mi_osc, coarsen, coarse_min))
+                    xs_e, its, dones, carry2 = cc.cache[keyx](
+                        *jax.device_put(carry, _cpu0),
+                        jnp.asarray(t0f + done_pts * dt, DTYPE),
+                        jnp.asarray(dt, DTYPE), _params_cpu(), dyn0)
+                # host copies: downstream consumers (detect_period, the
+                # flat runner's jnp.asarray) re-place them; cross-exec
+                # state must NEVER round-trip through the axon device
+                # (f64 transfers are lossy, CLAUDE.md r5)
+                xs_e = np.asarray(xs_e)
+                carry2 = jax.tree_util.tree_map(np.asarray, carry2)
+            else:
+                if keyx not in cc.cache:
+                    cc.cache[keyx] = cc.jit(make_pit_runner(
+                        cc, 1, CH, mi_osc, coarsen, coarse_min))
+                te = jnp.asarray(t0f + done_pts * dt, DTYPE)
+                xs_e, its, dones, carry2 = cc.cache[keyx](
+                    *carry, te, jnp.asarray(dt, DTYPE), params, dyn0)
+            nn += int(np.asarray(jnp.sum(its)))
+            ok = bool(np.asarray(jnp.all(dones)))
+            _dbg(f"oscA@{done_pts}+{CH}", its, dones)
+            # a failed SINGLE implicit step at mi_osc iterations is a
+            # genuinely stuck DAE point (the serial adaptive runner
+            # would be stuck at hmin the same way): flag, keep going
+            carry = carry2
+            xs_parts.append(xs_e)
+            done_pts += CH
+            all_done = all_done and ok
+            return ok
 
-        def _ladder_window():
-            # One converged short window. The constant-seed basin is
-            # ~2 oscillation periods (measured: the PSP103 ring
-            # converges at W*dt=1.9 periods, diverges at 3.8) — when a
-            # window fails, DISCARD it and retry the same span with
-            # the window halved, because a diverged window poisons
-            # every window after it. The retry floor is ONE step (a
-            # serial implicit step with limiting — the most robust
-            # solve we have): floor-accepting a diverged 16-step
-            # window sent the whole run into a parasitic DC fixed
-            # point whose trap ringing then fooled period detection.
-            # The width is LOCAL — after a hard window (kick edges)
-            # the next window starts back at osc_window.
-            nonlocal done_pts, nn, carry, Wa
-            Wl = Wa
-            while True:
-                if cpu_phase_a:
-                    with jax.default_device(_cpu0):
-                        runx = _get_ladder(Wl)
-                        xs_e, its, dones, carry2 = runx(
-                            *jax.device_put(carry, _cpu0),
-                            jnp.asarray(t0f + done_pts * dt, DTYPE),
-                            jnp.asarray(dt, DTYPE), _params_cpu(), dyn0)
-                    # host copies: downstream consumers (detect_period,
-                    # the flat runner's jnp.asarray) re-place them
-                    xs_e = np.asarray(xs_e)
-                    carry2 = jax.tree_util.tree_map(np.asarray, carry2)
-                else:
-                    runx = _get_ladder(Wl)
-                    te = jnp.asarray(t0f + done_pts * dt, DTYPE)
-                    xs_e, its, dones, carry2 = runx(
-                        *carry, te, jnp.asarray(dt, DTYPE), params, dyn0)
-                nn += int(np.asarray(jnp.sum(its)))
-                ok = bool(np.asarray(jnp.all(dones)))
-                if os.environ.get("CADNIP_PIT_DEBUG") and done_pts == 0:
-                    print(f"  oscA executes on: {getattr(its, 'device', '?')}",
-                          file=__import__('sys').stderr, flush=True)
-                _dbg(f"oscA@{done_pts}+{Wl}", its, dones)
-                if ok or Wl <= 1:
-                    carry = carry2
-                    xs_parts.append(xs_e)
-                    done_pts += Wl
-                    return ok
-                Wl //= 2
-
-        while done_pts + Wa <= n_steps:
-            all_done = _ladder_window() and all_done
+        while done_pts + CH <= n_steps:
+            _serial_chunk()
             acc = np.concatenate([np.asarray(p) for p in xs_parts], 0)
-            # min_cross=4: each extra required crossing costs ~a period
-            # of 57-91-iteration constant-seed ladder windows; the
-            # relative spread gate still rejects unstable estimates
-            # (measured ring spread at 4 crossings: 4e-5)
             P = detect_period(acc, dt, min_cross=4)
             if P is not None and done_pts >= int(round(P / dt)) + 2:
                 break
@@ -1359,17 +1341,18 @@ def tran_pit(cc: CompiledCircuit, tspan, dt, *, window: int = 1024,
                 Xseed = jnp.asarray(np.tile(tail, (reps, 1))[-Wb:], DTYPE)
                 nsB = min(n_exec, n_winB)
                 # the carry for the flat runner needs exact (Q, qdot)
-                # at the phase-A endpoint — already maintained in
-                # `carry` by _ladder_window; trips_per_win=3 because
-                # big-VA circuits pay one observe-trip per window on
-                # top of the 2-3 Newton trips
+                # at the phase-A endpoint — maintained in `carry` by
+                # the serial chunks; trips_per_win=3 because big-VA
+                # circuits pay one observe-trip per window on top of
+                # the 2-3 Newton trips
                 left = _flat_loop(Wb, nsB, done_pts, n_winB, Xseed,
                                   "oscB", trips_per_win=4 if big else 3)
                 done_pts += (n_winB - left) * Wb
         # trailing remainder — and the no-period-found fallback:
-        # short ladder windows to the end
+        # serial chunks to the end (the last chunk overshoots tstop;
+        # the final assembly truncates at n_steps+1 rows)
         while done_pts < n_steps:
-            all_done = _ladder_window() and all_done
+            _serial_chunk()
     elif use_seeded:
         # ---- PERIODIC WINDOW SEEDING via the flat runner. Window 0's
         # seed comes from a COARSE serial CPU integration (dtmax=8*dt)
