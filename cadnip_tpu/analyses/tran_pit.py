@@ -427,7 +427,10 @@ def make_pit_runner(cc: CompiledCircuit, W: int, n_win: int,
     # ~1.5 MB per skipped trip).
     _loop = os.environ.get("CADNIP_PIT_LOOP", "")
     if not _loop:
-        _loop = "while" if jax.default_backend() == "cpu" else "fori"
+        # build-time platform (a runner built under a CPU device
+        # context in a TPU process IS a CPU program): while_loop on
+        # CPU, fixed-trip fori with cond-skips on the axon backend
+        _loop = "while" if effective_platform() == "cpu" else "fori"
     # CADNIP_PIT_MIXED=1: f32 Newton DIRECTION under the f64 residual.
     # First attempt (row equilibration only) doubled iterations — the
     # 9x9 diode Jacobians' column spread (1e-12 S vs 1e3 S entries)

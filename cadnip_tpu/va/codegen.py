@@ -1432,7 +1432,15 @@ class VACompiler:
         # merge: contributions were already mask-scaled inside _contrib
         env.contrib = saved_contrib + then_contrib + else_contrib
         merged = dict(saved_vars)
-        for key in set(then_vars) | set(else_vars):
+        # sorted, NOT set-ordered: string-set iteration order is hash-
+        # randomized per process, and emitting the branch-merge where-ops
+        # in a different order makes every process's traced HLO byte-
+        # different — the persistent compilation cache then NEVER hits
+        # for big-VA programs (each PSP-class compile re-paid ~10 min
+        # per process), and XLA's order-sensitive passes round knife-
+        # edge Newton trajectories differently per process (measured on
+        # the ring's kick windows: 79-iters-vs-divergence)
+        for key in sorted(set(then_vars) | set(else_vars)):
             tv = then_vars.get(key, saved_vars.get(key))
             ev = else_vars.get(key, saved_vars.get(key))
             if tv is None:
