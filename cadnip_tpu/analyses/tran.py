@@ -654,6 +654,13 @@ def tran(cc: CompiledCircuit, tspan, params=None, *, dt=None, dtmax=None,
         big_va = any(g.model.va_setup is not None for g in cc.groups)
         pause_iters = (1200 if (big_va or cc.bbd is not None or cc.n > 64)
                        else 4000)
+        if cc.n > 6000:
+            # scale the burst down with system size: c6288 at 5,156
+            # unknowns measured 31.5 ms/NR (1200-iter burst = 38 s,
+            # just under the ~45 s fault ceiling); the 25,380-unknown
+            # access-R variant at ~2-3x the per-iter cost CRASHED the
+            # TPU worker on its first full burst
+            pause_iters = max(150, (pause_iters * 5000) // cc.n)
     if pause_iters and _vmap_axes is not None and x0.ndim == 2:
         batch = int(x0.shape[0])
         if batch > 256:
